@@ -1,0 +1,352 @@
+"""End-to-end sequence aligner: minimizer seeding → chaining → batched
+banded-DP refinement → BAM records.
+
+Replaces every minimap2 invocation in the reference (SURVEY.md §2.2):
+contig→ref asm5/asm10/asm20 (Raw_variant_call.py:49-52,
+volcanosv-vc-small-indel.py:85-95, volcanosv-vc-complex-sv.py:110-122),
+reads→ref map-* (align_ins2ref.py:64-71), and read-vs-read ava overlap
+(General_Assembly_Workflow.py:144).
+
+TPU-first structure — three phases:
+  A (host)   sketch + anchors + chains + a *window plan*: the irregular work
+  B (device) all DP windows across all queries, bucketed by padded shape and
+             executed as big (B, W) lockstep batches (banded_align_scan /
+             Pallas kernel)
+  C (host)   O(m+n) traceback walks + CIGAR assembly
+
+Large indels between adjacent anchors are refined with the two-pass
+split-DP: forward and backward diagonal-0 score profiles around the gap,
+breakpoint = argmax fwd[s] + bwd[L-s] — the TPU-shaped equivalent of
+minimap2's long-gap patching.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import AlignConfig
+from .ops.banded_align import Scores, banded_align_scan, traceback_cigar
+from .ops.chain import Chain, chain_anchors
+from .ops.minimizer import MinimizerIndex, sketch_np
+from .ops.pack import decode_codes, encode_seq, revcomp_codes
+from .io.bam import BamRecord, FREVERSE, FSUPPLEMENTARY
+from .utils.logging import get_logger, stage_timer
+
+log = get_logger("aligner")
+
+# cigar op codes (BAM)
+M, I, D, S = 0, 1, 2, 4
+
+_REFINE_MAX_DIAG = 100        # |dt-dq| handled by one banded window
+_REFINE_W = 256
+_REFINE_DLO = -128
+_SPLIT_W = 128
+_SPLIT_DLO = -64
+_MAX_WINDOW = 8192
+_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+@dataclass
+class Alignment:
+    qname: str
+    ref_name: str
+    ref_id: int
+    pos: int                  # 0-based local target start
+    strand: int               # +1 / -1
+    mapq: int
+    cigar: list[tuple[int, int]]   # BAM op codes incl. soft clips
+    score: float
+    is_supplementary: bool
+    qlen: int
+    q_start: int              # oriented query coords (in aligned orientation)
+    q_end: int
+
+    def t_end(self) -> int:
+        return self.pos + sum(l for op, l in self.cigar if op in (M, D))
+
+    def cigar_string(self) -> str:
+        from .io.bam import CIGAR_OPS
+        return "".join(f"{l}{CIGAR_OPS[op]}" for op, l in self.cigar)
+
+
+@dataclass
+class _Window:
+    """One DP task between two anchors of one chain."""
+    chain_idx: int
+    slot: int                # position in the chain's cigar assembly
+    q_codes: np.ndarray
+    t_codes: np.ndarray
+    kind: str                # 'refine' | 'split'
+    indel_op: int = 0        # for split: I or D
+    indel_len: int = 0
+    result: list | None = None
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
+                chain_idx: int, windows: list[_Window]):
+    """Build the cigar skeleton for one chain; emit _Windows for gaps.
+
+    qc: query codes in chain orientation. tget(a, b): target codes slice in
+    global coords.  Returns skeleton: list of either ('cig', [(op,len)]) or
+    ('win', window_index)."""
+    k = cfg.k
+    aq, at = chain.anchors_q, chain.anchors_t
+    order = np.lexsort((at, aq))
+    aq, at = aq[order], at[order]
+    # drop anchors that go backwards in either coordinate (not colinear)
+    keep_q, keep_t = [int(aq[0])], [int(at[0])]
+    for x, y in zip(aq[1:], at[1:]):
+        dx, dy = int(x) - keep_q[-1], int(y) - keep_t[-1]
+        if dx > 0 and dy > 0 or (dx == dy == 0):
+            if dx > 0:
+                keep_q.append(int(x)); keep_t.append(int(y))
+    aq, at = np.array(keep_q), np.array(keep_t)
+
+    skeleton: list = []
+
+    def emit(op, ln):
+        if ln > 0:
+            skeleton.append(("cig", (op, ln)))
+
+    qcur, tcur = int(aq[0]), int(at[0])
+    for qa, ta in zip(aq[1:], at[1:]):
+        dq, dt = int(qa) - qcur, int(ta) - tcur
+        if dq == dt:
+            emit(M, dq)
+        elif dq == 0:
+            emit(D, dt)
+        elif dt == 0:
+            emit(I, dq)
+        elif abs(dt - dq) <= _REFINE_MAX_DIAG and max(dq, dt) <= _MAX_WINDOW:
+            w = _Window(chain_idx, len(skeleton),
+                        qc[qcur:qa], tget(tcur, ta), "refine")
+            windows.append(w)
+            skeleton.append(("win", w))
+        else:
+            L = min(dq, dt)
+            indel_op = D if dt > dq else I
+            indel_len = abs(dt - dq)
+            if L > _MAX_WINDOW:
+                # unrefinable: place the indel right after the left anchor
+                emit(indel_op, indel_len)
+                emit(M, L)
+            else:
+                w = _Window(chain_idx, len(skeleton),
+                            qc[qcur:qa], tget(tcur, ta), "split",
+                            indel_op, indel_len)
+                windows.append(w)
+                skeleton.append(("win", w))
+        qcur, tcur = int(qa), int(ta)
+    emit(M, k)  # the final anchor's k-mer
+    return skeleton, int(aq[0]), int(at[0])
+
+
+def _run_refine(ws: list[_Window]):
+    """Batch all 'refine' windows by bucket; exact traceback CIGARs."""
+    from .ops.pack import pad_codes
+    groups: dict[tuple[int, int], list[_Window]] = {}
+    for w in ws:
+        key = (_bucket(len(w.q_codes)), _bucket(len(w.t_codes) + _REFINE_W))
+        groups.setdefault(key, []).append(w)
+    for (mb, nb), grp in groups.items():
+        q_pad, qlen = pad_codes([w.q_codes for w in grp], pad_to=mb)
+        t_pad, tlen = pad_codes([w.t_codes for w in grp], pad_to=nb)
+        score, tb, _ = banded_align_scan(
+            q_pad, t_pad, qlen, tlen, W=_REFINE_W, d_lo=_REFINE_DLO)
+        tb = np.asarray(tb)
+        for i, w in enumerate(grp):
+            cig = traceback_cigar(tb[:, i], int(qlen[i]), int(tlen[i]),
+                                  d_lo=_REFINE_DLO)
+            w.result = cig
+
+
+def _run_split(ws: list[_Window]):
+    """Two diagonal-0 score profiles per window → breakpoint placement."""
+    from .ops.pack import pad_codes
+    groups: dict[int, list[_Window]] = {}
+    for w in ws:
+        L = min(len(w.q_codes), len(w.t_codes))
+        groups.setdefault(_bucket(L), []).append(w)
+    for Lb, grp in groups.items():
+        qs, ts = [], []
+        for w in grp:
+            L = min(len(w.q_codes), len(w.t_codes))
+            qs.append(w.q_codes[:L]); ts.append(w.t_codes[:L])            # fwd
+            qs.append(w.q_codes[::-1][:L].copy())
+            ts.append(w.t_codes[::-1][:L].copy())                          # bwd
+        q_pad, qlen = pad_codes(qs, pad_to=Lb)
+        t_pad, tlen = pad_codes(ts, pad_to=Lb)
+        _, _, _, row0 = banded_align_scan(
+            q_pad, t_pad, qlen, tlen, W=_SPLIT_W, d_lo=_SPLIT_DLO,
+            with_traceback=False, row0_scores=True)
+        row0 = np.asarray(row0)  # (M, B)
+        for i, w in enumerate(grp):
+            L = int(qlen[2 * i])
+            fwd = np.concatenate([[0], row0[:L, 2 * i]])      # F[s], s=0..L
+            bwd = np.concatenate([[0], row0[:L, 2 * i + 1]])  # B[r], r=0..L
+            s = int(np.argmax(fwd + bwd[::-1]))
+            cig: list[tuple[int, int]] = []
+            if s > 0:
+                cig.append((M, s))
+            cig.append((w.indel_op, w.indel_len))
+            # any residual length difference beyond the main indel is noise;
+            # absorb into flanking M (lengths were L=min(dq,dt) on both sides)
+            if L - s > 0:
+                cig.append((M, L - s))
+            w.result = cig
+
+
+def _merge_cigar(parts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for op, ln in parts:
+        if ln <= 0:
+            continue
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + ln)
+        else:
+            out.append((op, ln))
+    return out
+
+
+class Aligner:
+    """Reusable aligner over one reference (index built once)."""
+
+    def __init__(self, ref_seqs: dict[str, str], cfg: AlignConfig):
+        self.cfg = cfg
+        with stage_timer("index_build", log):
+            self.ref_codes = {n: encode_seq(s) for n, s in ref_seqs.items()}
+            self.index = MinimizerIndex.build(self.ref_codes, cfg.k, cfg.w)
+        self.names = self.index.names
+        self.lengths = [len(self.ref_codes[n]) for n in self.names]
+        self._ref_concat = None
+
+    def _tget(self, a: int, b: int) -> np.ndarray:
+        """Target codes slice in global coords."""
+        idx = int(np.searchsorted(self.index.offsets, a, side="right") - 1)
+        off = int(self.index.offsets[idx])
+        return self.ref_codes[self.names[idx]][a - off : b - off]
+
+    def align(self, queries: list[tuple[str, str]],
+              max_chains_per_query: int = 16) -> list[Alignment]:
+        """Align queries (name, seq); returns primary + supplementary
+        alignments with exact CIGARs."""
+        cfg = self.cfg
+        plans = []   # (qname, qlen, chain, skeleton, first_aq, first_at, qc)
+        windows: list[_Window] = []
+        with stage_timer("seed_chain", log):
+            for qname, qseq in queries:
+                qc_fwd = encode_seq(qseq)
+                qlen = len(qc_fwd)
+                qp, qh, qs = sketch_np(qc_fwd, cfg.k, cfg.w)
+                if len(qp) == 0:
+                    continue
+                t_pos, q_pos, strand = self.index.anchors(qp, qh, qs)
+                chains = chain_anchors(t_pos, q_pos, strand, qlen, cfg,
+                                       max_chains=max_chains_per_query)
+                chains = self._select(chains, qlen)
+                qc_rev = None
+                for rank, ch in enumerate(chains):
+                    # drop chains crossing reference boundaries
+                    i0 = np.searchsorted(self.index.offsets, ch.t_start, "right") - 1
+                    i1 = np.searchsorted(self.index.offsets, ch.t_end - 1, "right") - 1
+                    if i0 != i1:
+                        continue
+                    if ch.strand == -1:
+                        if qc_rev is None:
+                            qc_rev = revcomp_codes(qc_fwd)
+                        qc = qc_rev
+                    else:
+                        qc = qc_fwd
+                    skeleton, aq0, at0 = _plan_chain(
+                        qc, self._tget, ch, cfg, len(plans), windows)
+                    plans.append((qname, qlen, ch, skeleton, aq0, at0, rank))
+        with stage_timer("dp_windows", log):
+            _run_refine([w for w in windows if w.kind == "refine"])
+            _run_split([w for w in windows if w.kind == "split"])
+        with stage_timer("assemble", log):
+            return self._assemble(plans)
+
+    def _select(self, chains: list[Chain], qlen: int) -> list[Chain]:
+        """Primary + non-redundant supplementary selection by query overlap."""
+        out: list[Chain] = []
+        cov: list[tuple[int, int]] = []
+        for ch in chains:
+            ov = 0
+            for s, e in cov:
+                ov = max(ov, min(e, ch.q_end) - max(s, ch.q_start))
+            if ov > 0.5 * (ch.q_end - ch.q_start):
+                continue
+            out.append(ch)
+            cov.append((ch.q_start, ch.q_end))
+        return out
+
+    def _assemble(self, plans) -> list[Alignment]:
+        by_query: dict[str, list[Alignment]] = {}
+        alns: list[Alignment] = []
+        for qname, qlen, ch, skeleton, aq0, at0, rank in plans:
+            parts: list[tuple[int, int]] = []
+            for item in skeleton:
+                if item[0] == "cig":
+                    parts.append(item[1])
+                else:
+                    w = item[1]
+                    if w.result:
+                        parts.extend(w.result)
+            core = _merge_cigar(parts)
+            q_consumed = sum(l for op, l in core if op in (M, I))
+            # oriented clip lengths
+            left = aq0
+            right = qlen - left - q_consumed
+            if right < 0:
+                continue
+            cigar = _merge_cigar(
+                ([(S, left)] if left else []) + core + ([(S, right)] if right else []))
+            ref_idx, local = self.index.global_to_local(np.array([at0]))
+            ref_id = int(ref_idx[0])
+            a = Alignment(
+                qname=qname, ref_name=self.names[ref_id], ref_id=ref_id,
+                pos=int(local[0]), strand=ch.strand,
+                mapq=60 if rank == 0 else 50,
+                cigar=cigar, score=ch.score,
+                is_supplementary=rank > 0, qlen=qlen,
+                q_start=left, q_end=left + q_consumed)
+            alns.append(a)
+            by_query.setdefault(qname, []).append(a)
+        return alns
+
+    def to_bam_records(self, alns: list[Alignment],
+                       query_seqs: dict[str, str]) -> list[BamRecord]:
+        """Alignments → BamRecords with SA tags (split-read linkage)."""
+        by_query: dict[str, list[Alignment]] = {}
+        for a in alns:
+            by_query.setdefault(a.qname, []).append(a)
+        recs = []
+        for a in alns:
+            seq = query_seqs[a.qname]
+            if a.strand == -1:
+                seq = decode_codes(revcomp_codes(encode_seq(seq)))
+            flag = (FREVERSE if a.strand == -1 else 0) | (
+                FSUPPLEMENTARY if a.is_supplementary else 0)
+            sa_parts = []
+            for o in by_query[a.qname]:
+                if o is a:
+                    continue
+                sa_parts.append(
+                    f"{o.ref_name},{o.pos + 1},{'-' if o.strand == -1 else '+'},"
+                    f"{o.cigar_string()},{o.mapq},0")
+            tags = {"SA": ";".join(sa_parts) + ";"} if sa_parts else {}
+            recs.append(BamRecord(
+                name=a.qname, flag=flag, ref_id=a.ref_id, pos=a.pos,
+                mapq=a.mapq,
+                cigar=np.array(a.cigar, np.int64).reshape(-1, 2),
+                seq=seq, qual=None, tags=tags))
+        recs.sort(key=lambda r: (r.ref_id, r.pos))
+        return recs

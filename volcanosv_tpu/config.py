@@ -1,0 +1,290 @@
+"""One typed config tree for the whole engine.
+
+The reference scatters its hyperparameters across argparse defaults, CSV/TXT
+data files and hard-coded literals (SURVEY.md §5):
+
+* large-indel signature/cluster thresholds — extract_contig_signature_Hifi.py
+  (min sv 30bp, max_shift 100, size-sim 0.5, pair shift 200, split-pair
+  overlap tolerance 3000, max svlen 50000)
+* FP filter — FP_filter_v1.py (shift 500, size-sim 0.5, auto-pass >250bp)
+* redundancy removal — remove_redundancy.py (INS dist 500/sim 0.5/edit 0.5;
+  DEL dist 3000/size-sim 0.1)
+* coverage band-pass bounds — Large_INDEL/filter_para.csv
+* GT-correction thresholds — Large_INDEL/para/GT_correction_para_*.txt
+  (max_dist_ratio 2.3, min_size_sim 0.6, flanking 100/150)
+* small-indel — htsbox -w 20 context, size band 2-49bp, k=15 kmer filter
+  rt=0.3 ms=5 (volcanosv-vc-small-indel.py:210-212)
+* complex SV — DUP sim 0.7/shift 300/ratio 0.3 (align_ins2ref.py:82-97),
+  TRA cluster 100bp (filter_tra.py), INV merge 500bp + read support
+  (filter_inv.py)
+* k-mer partition — k=12, sig_level 0.1
+  (get_raw_kmer_overlap_count_unphased_est_pbs_v1.py)
+* assembly — per-dtype assembler choice, genome-size estimate
+  (General_Assembly_Workflow.py:13-18)
+
+Everything is a frozen dataclass so configs hash & can be closed over by
+jitted functions as static args.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class DataType(str, Enum):
+    HIFI = "Hifi"
+    CLR = "CLR"
+    ONT = "ONT"
+
+
+@dataclass(frozen=True)
+class AlignConfig:
+    """Minimizer seed + chain + banded-extend aligner (replaces minimap2).
+
+    Presets mirror minimap2 modes used by the reference:
+      asm5  (Raw_variant_call.py:49)   contig→ref, low divergence
+      asm10 (volcanosv-vc-complex-sv.py:110) contig→ref
+      asm20 (volcanosv-vc-small-indel.py:87) dipcall-style
+      map   (align_ins2ref.py:67, reads→ref)
+      ava   (General_Assembly_Workflow.py:144, read overlap)
+    """
+    k: int = 19                  # minimizer k-mer size
+    w: int = 10                  # minimizer window
+    min_chain_anchors: int = 3
+    max_anchor_gap: int = 5_000      # chaining: max gap between anchors
+    chain_bandwidth: int = 2_000     # chaining: max diagonal drift
+    min_chain_score: int = 100       # bp of anchored sequence
+    band_width: int = 256            # banded DP band (lanes)
+    match: int = 2
+    mismatch: int = -4
+    gap_open: int = -4
+    gap_extend: int = -2
+    gap_open2: int = -24             # long-gap affine (dual affine like minimap2 -O 5,56)
+    gap_extend2: int = -1
+    refine_window: int = 1024        # DP refinement window around candidate breakpoints
+    max_target_len: int = 1_000_000
+
+    @staticmethod
+    def preset(name: str) -> "AlignConfig":
+        if name == "asm5":
+            return AlignConfig(k=19, w=10)
+        if name == "asm10":
+            return AlignConfig(k=19, w=10, mismatch=-3)
+        if name == "asm20":
+            return AlignConfig(k=19, w=10, mismatch=-2)
+        if name == "map-hifi":
+            return AlignConfig(k=19, w=19, min_chain_score=60)
+        if name in ("map-ont", "map-pb"):
+            return AlignConfig(k=15, w=10, min_chain_score=60)
+        if name == "ava":
+            return AlignConfig(k=15, w=5, min_chain_score=60, min_chain_anchors=2)
+        raise ValueError(f"unknown preset {name}")
+
+
+@dataclass(frozen=True)
+class SignatureConfig:
+    """Contig CIGAR/split signature extraction.
+
+    ref: extract_contig_signature_Hifi.py:53-166 (cigar), :307-371 (split)."""
+    min_sv_size: int = 30
+    max_sv_size: int = 50_000
+    merge_dist_small: int = 500      # merge INS/DEL <250bp within this distance
+    merge_dist_large: int = 250      # merge INS/DEL >=250bp within this distance
+    merge_size_boundary: int = 250
+    split_overlap_tol: int = 3_000   # split-pair read-overlap tolerance (Hifi)
+    split_rel_overlap: float = 0.0   # CLR=0.3 / ONT=0.5 relative overlap criterion
+    min_mapq: int = 20
+    # clustering (cluster_del/cluster_ins :196-288)
+    max_shift: int = 100
+    min_size_sim: float = 0.5
+    min_overlap: float = 0.5
+    # hp1 x hp2 pairing → genotype (pair_sig :548-603)
+    pair_max_shift: int = 200
+    pair_min_size_sim: float = 0.5
+
+
+@dataclass(frozen=True)
+class FPFilterConfig:
+    """Read-signature support filter. ref: FP_filter_v1.py:87-123."""
+    max_shift: int = 500
+    min_size_sim: float = 0.5
+    auto_pass_svlen: int = 250
+    min_support: int = 1
+    reads_min_mapq: int = 50         # extract_reads_signature.py:120
+    reads_min_sv_size: int = 30
+
+
+@dataclass(frozen=True)
+class RedundancyConfig:
+    """Cross-contig call dedup. ref: remove_redundancy.py:92-125."""
+    ins_max_dist: int = 500
+    ins_min_size_sim: float = 0.5
+    ins_min_edit_sim: float = 0.5
+    del_max_dist: int = 3_000
+    del_min_size_sim: float = 0.1
+
+
+@dataclass(frozen=True)
+class CovFilterConfig:
+    """Relative-coverage band-pass, per (asm,dtype). ref: filter_para.csv +
+    filter_vcf_by_sig_cov_insdel.py:20-27.  Bounds are multiples of the
+    per-run median rel_cov; nan disables a side."""
+    flank: int = 1_000
+    del_low: float = 0.2             # volcano/hifi DEL band (filter_para.csv:5)
+    del_high: float = 2.605
+    apply_del: bool = True
+    apply_ins: bool = False          # reference filters DEL only (ft_vtype='DEL')
+
+
+@dataclass(frozen=True)
+class GTCorrectionConfig:
+    """Genotype re-estimation from read-signature support/depth ratio.
+
+    ref: correct_gt_del_real_data.py (max_dist_ratio 2.3, min_size_sim 0.6,
+    min shift floor 500, flank 150 DEL / 100 INS) + learned cutoffs in
+    para/GT_correction_para_{dtype}_{INS,DEL}.txt."""
+    max_dist_ratio: float = 2.3
+    min_shift_floor: int = 500
+    min_size_sim: float = 0.6
+    del_flank: int = 150
+    ins_flank: int = 100
+    # n_ratio = support/depth cutoffs per size class [ (lo,hi,het_lo,hom_lo) ]
+    # hom if ratio >= hom_lo else het if >= het_lo else 0/0-able (keep het)
+    size_bins: tuple = ((30, 100), (100, 1000), (1000, 10**9))
+    het_lo: tuple = (0.2, 0.2, 0.2)
+    hom_lo: tuple = (0.75, 0.75, 0.8)
+
+
+@dataclass(frozen=True)
+class SmallIndelConfig:
+    """Diploid pileup caller + k-mer read-support filter.
+
+    ref: volcanosv-vc-small-indel.py (htsbox -q5 -w20; 2–49bp; k=15 rt=0.3 ms=5)."""
+    min_mapq: int = 5
+    context: int = 20
+    min_size: int = 2
+    max_size: int = 49
+    kmer_k: int = 15
+    max_bad_kmer_ratio: float = 0.3
+    min_kmer_support: int = 5
+    region_left: int = 20            # check_reads_kmer_support.py get_seq:75-99
+    region_right: int = 70
+
+
+@dataclass(frozen=True)
+class ComplexSVConfig:
+    """svim-asm-equivalent + DUP/INV/TRA post filters.
+
+    ref: SVIM_input_parsing.py:48-97 (min 40, max 100000, tol 50),
+    align_ins2ref.py:82-97, filter_tra.py:70-88, filter_inv.py:57-190."""
+    min_sv_size: int = 40
+    max_sv_size: int = 100_000
+    segment_gap_tol: int = 10_000
+    segment_overlap_tol: int = 50
+    dup_min_size_sim: float = 0.7
+    dup_max_shift: int = 300
+    dup_max_shift_ratio: float = 0.3
+    tra_cluster_dist: int = 100
+    inv_merge_dist: int = 500
+    inv_support_flank: int = 1_000
+    inv_min_support: int = 1
+
+
+@dataclass(frozen=True)
+class PhasingConfig:
+    """SNP calling + read-backed phasing (replaces longshot).
+
+    ref invocation: volcanosv-asm.py:75-80 (longshot -F)."""
+    min_snp_qual: float = 20.0
+    min_base_qual: int = 7
+    min_mapq: int = 20
+    min_allele_frac: float = 0.2     # candidate SNP: alt fraction band
+    max_allele_frac: float = 0.8
+    min_depth: int = 6
+    max_depth: int = 400
+    error_rate_hifi: float = 0.002
+    error_rate_clr: float = 0.10
+    error_rate_ont: float = 0.05
+    max_phase_iter: int = 30
+
+
+@dataclass(frozen=True)
+class PartitionConfig:
+    """k-mer haplotype partitioning of unphased reads.
+
+    ref: HashSeq.py (k=12 one-hot hash), get_raw_kmer_overlap_count_… (
+    sig_level 0.1 quantile, L2 normalize, 2 nearest phase blocks)."""
+    k: int = 12
+    sig_level: float = 0.1
+    n_nearest_blocks: int = 2
+    min_read_len: int = 500          # bamtoseq filter: reads shorter than k dropped
+
+
+@dataclass(frozen=True)
+class AssemblyConfig:
+    """Local OLC assembler for phase-block haplotypes (replaces 8 assemblers).
+
+    genome size estimate = phase-block span (General_Assembly_Workflow.py:13-18)."""
+    assembler: str = "volcano-olc"   # single native assembler; enum kept for parity
+    min_overlap_len: int = 500
+    min_overlap_frac: float = 0.05
+    max_overhang: int = 1_000
+    min_reads: int = 1
+    consensus_rounds: int = 1
+    dedup_reads: bool = False        # CLR/ONT duplicate pre-pass (remove_duplicate:389-415)
+
+
+@dataclass(frozen=True)
+class QCConfig:
+    """Flagger-equivalent coverage-HMM assembly QC (hmm_flagger.c)."""
+    n_states: int = 4                # err / dup(collapsed-half) / hap / collapsed
+    window: int = 1_000
+    max_iter: int = 20
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes: data-parallel over read/contig batches ('data'),
+    genome-shard axis over chromosomes/windows ('genome')."""
+    data_axis: str = "data"
+    genome_axis: str = "genome"
+    genome_shards: int = 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    dtype: DataType = DataType.HIFI
+    align: AlignConfig = field(default_factory=lambda: AlignConfig.preset("asm5"))
+    signature: SignatureConfig = field(default_factory=SignatureConfig)
+    fp_filter: FPFilterConfig = field(default_factory=FPFilterConfig)
+    redundancy: RedundancyConfig = field(default_factory=RedundancyConfig)
+    cov_filter: CovFilterConfig = field(default_factory=CovFilterConfig)
+    gt_correction: GTCorrectionConfig = field(default_factory=GTCorrectionConfig)
+    small_indel: SmallIndelConfig = field(default_factory=SmallIndelConfig)
+    complex_sv: ComplexSVConfig = field(default_factory=ComplexSVConfig)
+    phasing: PhasingConfig = field(default_factory=PhasingConfig)
+    partition: PartitionConfig = field(default_factory=PartitionConfig)
+    assembly: AssemblyConfig = field(default_factory=AssemblyConfig)
+    qc: QCConfig = field(default_factory=QCConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    @staticmethod
+    def for_dtype(dtype: DataType | str) -> "PipelineConfig":
+        dtype = DataType(dtype)
+        base = PipelineConfig(dtype=dtype)
+        if dtype == DataType.HIFI:
+            return base
+        if dtype == DataType.CLR:
+            # CLR: rel-overlap split criterion r=0.3 (extract_contig_signature_CLR.py:368-399)
+            return dataclasses.replace(
+                base,
+                signature=dataclasses.replace(base.signature, split_rel_overlap=0.3),
+                assembly=dataclasses.replace(base.assembly, dedup_reads=True),
+            )
+        # ONT: r=0.5 (extract_contig_signature_ONT.py:348-380)
+        return dataclasses.replace(
+            base,
+            signature=dataclasses.replace(base.signature, split_rel_overlap=0.5),
+            assembly=dataclasses.replace(base.assembly, dedup_reads=True),
+        )

@@ -1,0 +1,71 @@
+"""Native (C++) host kernels, built on demand with g++.
+
+The reference vendors ~100k LoC of C/C++ assembler/caller code (SURVEY.md
+§2.2); our native surface is deliberately small — only the host-side glue
+that is inherently sequential (anchor chaining backtrack, BGZF inflate)
+lives in C++; all throughput compute runs on the TPU.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SOURCES = ["chain.cpp"]
+
+
+def _lib_path() -> str:
+    src = b"".join(open(os.path.join(_HERE, s), "rb").read() for s in _SOURCES)
+    tag = hashlib.sha256(src).hexdigest()[:12]
+    return os.path.join(_HERE, f"libvolcano_native_{tag}.so")
+
+
+def build_native(force: bool = False) -> str | None:
+    """Compile the native lib if needed; returns path or None on failure."""
+    out = _lib_path()
+    if os.path.exists(out) and not force:
+        return out
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           *srcs, "-o", out]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return out
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+_lib = None
+_tried = False
+
+
+def get_lib():
+    """ctypes handle to the native lib, or None (callers fall back to numpy)."""
+    global _lib, _tried
+    if _lib is None and not _tried:
+        _tried = True
+        path = build_native()
+        if path is not None:
+            _lib = ctypes.CDLL(path)
+            _configure(_lib)
+    return _lib
+
+
+def _configure(lib) -> None:
+    import numpy.ctypeslib as npc
+    import numpy as np
+
+    i64p = npc.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f32p = npc.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = npc.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i8p = npc.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.chain_dp.argtypes = [
+        i64p, i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_float, f32p, i32p]
+    lib.chain_dp.restype = None
+    lib.chain_backtrack.argtypes = [
+        f32p, i32p, ctypes.c_int64, ctypes.c_float, ctypes.c_int32,
+        i8p, i32p, f32p, ctypes.c_int64]
+    lib.chain_backtrack.restype = ctypes.c_int64

@@ -1,0 +1,294 @@
+"""Banded affine-gap alignment — the DP core of the whole engine.
+
+This one kernel family replaces every alignment engine the reference shells
+out to (SURVEY.md §2.2):
+  * minimap2 extension DP   (contig→ref asm5/asm10/asm20, reads→ref map-*)
+  * hifiasm/flye overlap DP (read-vs-read, ava mode)
+  * edlib edit distance     (remove_redundancy.py:75-81, svim-asm pairing)
+  * htsbox pileup's implicit per-read alignment reuse
+
+Design (TPU-first):
+  The band is fixed in *diagonal* space: lanes l ∈ [0,W) map to diagonals
+  d = j - i = d_lo + l.  Per query row i the target window T[i+d_lo : i+d_lo+W)
+  shifts by exactly one — a single dynamic slice per step, identical across
+  the batch, so hundreds of alignments run in lockstep as (B,W) VPU vectors.
+  Vertical gaps read the previous row at lane l+1 (pure shift); horizontal
+  gaps within a row are resolved exactly with a log2(W) max-plus prefix scan
+  (the affine F-recurrence  F[l] = go + ge·l + max_{s<l}(Htmp[s] − ge·s)).
+
+  Two implementations share these semantics:
+    * `banded_align_scan` — pure JAX lax.scan (runs anywhere; correctness
+      oracle; surprisingly decent XLA code on TPU)
+    * `ops.pallas.banded_dp` — the hand-tiled Pallas kernel (TPU hot path)
+
+  Traceback is exact: 4 bits/cell (H-choice + E/F gap-open flags) streamed
+  to HBM; the O(m+n) walk happens on host per alignment.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(10**9) // 2)
+
+# traceback encoding
+TB_DIAG, TB_UP, TB_LEFT = 0, 1, 2            # bits 0-1: H source
+TB_E_OPEN = 4                                # bit 2: E opened (vs extended)
+TB_F_OPEN = 8                                # bit 3: F opened (vs extended)
+
+
+@dataclass(frozen=True)
+class Scores:
+    match: int = 2
+    mismatch: int = -4
+    gap_open: int = -4      # charged on gap open *in addition to* extend
+    gap_extend: int = -2
+
+    @staticmethod
+    def edit() -> "Scores":
+        """Unit-cost scores: -score == edit distance (match=0)."""
+        return Scores(match=0, mismatch=-1, gap_open=0, gap_extend=-1)
+
+
+def _prefix_max_exclusive(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive running max along the last axis in log2(W) shifts."""
+    W = x.shape[-1]
+    # shift right by 1 → exclusive
+    y = jnp.concatenate([jnp.full(x.shape[:-1] + (1,), NEG, x.dtype), x[..., :-1]], -1)
+    shift = 1
+    while shift < W:
+        y = jnp.maximum(y, jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (shift,), NEG, x.dtype), y[..., :-shift]], -1))
+        shift *= 2
+    return y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "W", "d_lo", "scores", "with_traceback", "free_t_end", "free_t_start",
+        "row0_scores"),
+)
+def banded_align_scan(
+    q: jnp.ndarray,          # (B, M) int8 codes, padded
+    t: jnp.ndarray,          # (B, N) int8 codes, padded
+    qlen: jnp.ndarray,       # (B,) int32
+    tlen: jnp.ndarray,       # (B,) int32
+    W: int = 256,
+    d_lo: int = -64,
+    scores: Scores = Scores(),
+    with_traceback: bool = True,
+    free_t_end: bool = False,
+    free_t_start: bool = False,
+    row0_scores: bool = False,
+):
+    """Banded global alignment of each (q[b,:qlen], t[b,:tlen]) pair.
+
+    Requires d_lo <= 0 and (tlen-qlen) - d_lo < W for the optimum to stay in
+    band (caller marshals windows accordingly).
+
+    Returns (score (B,), tb (M, B, W) uint8 or None, end_j (B,) int32).
+    With free_t_end=True the alignment may end at any target column on the
+    last query row; with free_t_start=True it may start at any column
+    (fitting/'glocal' alignment, used for INS→ref realignment,
+    align_ins2ref.py equivalent)."""
+    B, M = q.shape
+    N = t.shape[1]
+    go, ge = jnp.int32(scores.gap_open), jnp.int32(scores.gap_extend)
+    lanes = jnp.arange(W, dtype=jnp.int32)
+
+    # row -1 init: lane l ↔ j = -1 + d_lo + l
+    j_init = -1 + d_lo + lanes
+    if free_t_start:
+        H0 = jnp.where((j_init >= -1) & (j_init < tlen[:, None]),
+                       0, NEG).astype(jnp.int32)
+    else:
+        H0 = jnp.where(
+            j_init == -1, 0,
+            jnp.where((j_init >= 0) & (j_init < tlen[:, None]),
+                      go + ge * (j_init + 1), NEG)).astype(jnp.int32)
+    E0 = jnp.full((B, W), NEG, jnp.int32)
+
+    # pad t so dynamic slicing never clips: indices i+d_lo ∈ [d_lo, M-1+d_lo]
+    pad_l = max(0, -d_lo)
+    pad_r = max(0, M + d_lo + W - N)
+    t_pad = jnp.pad(t, ((0, 0), (pad_l, pad_r)), constant_values=4)
+
+    ge_l = ge * lanes  # static per-lane drift for the F prefix scan
+
+    def step(carry, i):
+        H_prev, E_prev, best, best_j = carry
+        j = i + d_lo + lanes                       # (W,) target cols this row
+        j_valid = (j >= 0) & (j[None, :] < tlen[:, None])
+        row_valid = i < qlen                        # (B,)
+        qi = jax.lax.dynamic_slice(q, (0, i), (B, 1)).astype(jnp.int32)   # (B,1)
+        tw = jax.lax.dynamic_slice(
+            t_pad, (0, i + d_lo + pad_l), (B, W)).astype(jnp.int32)       # (B,W)
+        is_match = (qi == tw) & (qi < 4) & (tw < 4)
+        sub = jnp.where(is_match, scores.match, scores.mismatch).astype(jnp.int32)
+
+        # E: vertical (consume query), pred = prev row lane l+1
+        H_up = jnp.concatenate([H_prev[:, 1:], jnp.full((B, 1), NEG)], 1)
+        E_up = jnp.concatenate([E_prev[:, 1:], jnp.full((B, 1), NEG)], 1)
+        E_open = H_up + go + ge
+        E_ext = E_up + ge
+        E = jnp.maximum(E_open, E_ext)
+        e_open_bit = (E_open >= E_ext)
+
+        Hdiag = H_prev + sub
+        Htmp = jnp.maximum(Hdiag, E)
+        h_up_bit = E > Hdiag                        # H choice so far: up vs diag
+
+        # inject column -1 boundary H(i,-1) = go+ge*(i+1) at lane -1-i-d_lo
+        lb = -1 - i - d_lo
+        boundary = go + ge * (i + 1)
+        inject = (lanes == lb)
+        Htmp = jnp.where(inject[None, :], boundary, Htmp)
+
+        # F: horizontal within the row (exact affine via prefix max)
+        # F[l] = max_{s<l} Htmp[s] + go + ge*(l-s)
+        pm = _prefix_max_exclusive(Htmp - ge_l[None, :])
+        F = pm + ge_l[None, :] + go
+        # F-open bit: F[l] achieved by opening at l-1 (vs extending a run)
+        H_left = jnp.concatenate([jnp.full((B, 1), NEG), Htmp[:, :-1]], 1)
+        f_open_bit = (H_left + go + ge) >= F
+
+        H = jnp.maximum(Htmp, F)
+        h_left = F > Htmp
+
+        cell_valid = j_valid & row_valid[:, None]
+        H = jnp.where(cell_valid | inject[None, :], H, NEG)
+        E = jnp.where(cell_valid, E, NEG)
+
+        # capture global score at (qlen-1, tlen-1) — lane tlen-qlen-d_lo
+        if free_t_end:
+            last_row = (i == qlen - 1)
+            row_best_val = jnp.max(jnp.where(j_valid, H, NEG), axis=1)
+            row_best_lane = jnp.argmax(jnp.where(j_valid, H, NEG), axis=1)
+            new_best = jnp.where(last_row, row_best_val, best)
+            new_best_j = jnp.where(
+                last_row, (i + d_lo + row_best_lane).astype(jnp.int32), best_j)
+        else:
+            l_star = (tlen - qlen - d_lo).astype(jnp.int32)
+            val = jnp.take_along_axis(
+                H, jnp.clip(l_star, 0, W - 1)[:, None], axis=1)[:, 0]
+            last_row = (i == qlen - 1)
+            new_best = jnp.where(last_row, val, best)
+            new_best_j = jnp.where(last_row, tlen - 1, best_j)
+
+        # H choice: LEFT dominates when F > Htmp; else UP if E>Hdiag; else DIAG
+        tb_row = jnp.where(h_left, jnp.uint8(TB_LEFT),
+                           jnp.where(h_up_bit, jnp.uint8(TB_UP), jnp.uint8(TB_DIAG)))
+        tb_row = tb_row | jnp.where(e_open_bit, jnp.uint8(TB_E_OPEN), jnp.uint8(0))
+        tb_row = tb_row | jnp.where(f_open_bit, jnp.uint8(TB_F_OPEN), jnp.uint8(0))
+
+        outs = []
+        if with_traceback:
+            outs.append(tb_row)
+        if row0_scores:
+            # H on diagonal 0 (lane -d_lo): score of q[0..i] vs t[0..i]
+            outs.append(H[:, -d_lo])
+        return (H, E, new_best, new_best_j), tuple(outs)
+
+    init = (H0, E0, jnp.full((B,), NEG, jnp.int32), jnp.zeros((B,), jnp.int32))
+    (Hf, Ef, best, best_j), outs = jax.lax.scan(
+        step, init, jnp.arange(M, dtype=jnp.int32))
+    tb = outs[0] if with_traceback else None
+    row0 = outs[-1] if row0_scores else None
+    if row0_scores:
+        return best, tb, best_j, row0
+    return best, tb, best_j
+
+
+def traceback_cigar(tb: np.ndarray, qlen: int, tlen: int, d_lo: int,
+                    end_j: int | None = None,
+                    free_t_start: bool = False) -> list[tuple[int, int]]:
+    """Walk the traceback for one alignment → CIGAR [(op, len)] with op in
+    {0:M, 1:I, 2:D} (query-consuming I, target-consuming D). Host-side.
+    With free_t_start the walk stops once the query is consumed (the leading
+    target skip is not part of the alignment)."""
+    ops: list[tuple[int, int]] = []
+    i = qlen - 1
+    j = (tlen - 1) if end_j is None else int(end_j)
+    W = tb.shape[-1]
+
+    def push(op):
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + 1)
+        else:
+            ops.append((op, 1))
+
+    state = 0  # 0=H, 1=E(up/I), 2=F(left/D)
+    guard = qlen + tlen + 2 * W + 10
+    while (i >= 0 or j >= 0) and guard > 0:
+        guard -= 1
+        if i < 0:
+            if free_t_start:
+                break
+            push(2); j -= 1; continue
+        if j < 0:
+            push(1); i -= 1; continue
+        l = j - i - d_lo
+        cell = int(tb[i, l]) if 0 <= l < W else TB_DIAG
+        if state == 0:
+            choice = cell & 3
+            if choice == TB_DIAG:
+                push(0); i -= 1; j -= 1
+            elif choice == TB_UP:
+                state = 1
+            else:
+                state = 2
+        elif state == 1:
+            push(1)
+            opened = bool(cell & TB_E_OPEN)
+            i -= 1
+            if opened:
+                state = 0
+        else:
+            push(2)
+            opened = bool(cell & TB_F_OPEN)
+            j -= 1
+            if opened:
+                state = 0
+    ops.reverse()
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# host-side exact full DP (tiny inputs, unit tests only)
+# ---------------------------------------------------------------------------
+
+def full_affine_score_np(q: np.ndarray, t: np.ndarray, s: Scores = Scores()) -> int:
+    """O(mn) full-matrix affine global alignment score (oracle for tests)."""
+    m, n = len(q), len(t)
+    NEGI = -(10**9) // 2
+    H = np.full(n + 1, NEGI, np.int64)
+    E = np.full(n + 1, NEGI, np.int64)
+    H[0] = 0
+    for j in range(1, n + 1):
+        H[j] = s.gap_open + s.gap_extend * j
+    for i in range(1, m + 1):
+        diag = H.copy()
+        H[0] = s.gap_open + s.gap_extend * i
+        F = NEGI
+        for j in range(1, n + 1):
+            E[j] = max(diag[j] + s.gap_open + s.gap_extend, E[j] + s.gap_extend)
+            F = max(H[j - 1] + s.gap_open + s.gap_extend, F + s.gap_extend)
+            sub = s.match if (q[i - 1] == t[j - 1] and q[i - 1] < 4) else s.mismatch
+            H[j] = max(diag[j - 1] + sub, E[j], F)
+    return int(H[n])
+
+
+def edit_distance_batch(q, t, qlen, tlen, W: int = 128, d_lo: int | None = None):
+    """Batched banded edit distance (replaces edlib): distance = -score with
+    unit costs.  Returns (B,) int32 distances (band-limited lower bound)."""
+    if d_lo is None:
+        d_lo = -(W // 2)
+    score, _, _ = banded_align_scan(
+        q, t, qlen, tlen, W=W, d_lo=d_lo, scores=Scores.edit(),
+        with_traceback=False)
+    return -score
