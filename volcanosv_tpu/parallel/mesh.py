@@ -1,0 +1,70 @@
+"""Device mesh construction + sharding helpers.
+
+The reference's "cluster story" is 22 independent SLURM jobs over a shared
+filesystem (README.md:244-255) with joblib fan-out inside each job
+(SURVEY.md §2.3).  The TPU-native equivalent is a 2-D device mesh:
+
+  axis "genome" — genome shards (chromosomes / 10Mb windows); per-shard SV
+                  signatures are merged with all_gather over this axis
+                  (replaces the reference's file-concat WGS merge,
+                  volcanosv-vc-large-indel.py:266-278)
+  axis "data"   — data parallelism over read/contig/window batches inside a
+                  shard (replaces joblib.Parallel fan-outs)
+
+There is no tensor/pipeline/sequence parallelism to map: the reference is a
+genomics pipeline, not an ML trainer (SURVEY.md §2.3 last row).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshAxes:
+    genome: str = "genome"
+    data: str = "data"
+
+
+AXES = MeshAxes()
+
+
+def make_mesh(n_devices: int | None = None, genome_shards: int | None = None,
+              devices=None) -> Mesh:
+    """Build the (genome, data) mesh over available devices.
+
+    genome_shards defaults to the largest power-of-two ≤ n_devices capped at
+    the device count; remaining devices go to the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if genome_shards is None:
+        genome_shards = 1
+        while genome_shards * 2 <= n_devices and (n_devices % (genome_shards * 2)) == 0:
+            genome_shards *= 2
+        # balanced split: half the axes to genome
+        while genome_shards > 1 and genome_shards > n_devices // genome_shards:
+            genome_shards //= 2
+        genome_shards = max(1, genome_shards)
+    if n_devices % genome_shards:
+        raise ValueError(f"{n_devices} devices not divisible by genome={genome_shards}")
+    arr = np.array(devices).reshape(genome_shards, n_devices // genome_shards)
+    return Mesh(arr, (AXES.genome, AXES.data))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch dim split over both mesh axes (pure data parallelism)."""
+    return NamedSharding(mesh, P((AXES.genome, AXES.data)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_batch_to(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
