@@ -1,0 +1,110 @@
+"""Read-alignment SV signatures (the FP-filter evidence stream).
+
+ref: extract_reads_signature.py — the same CIGAR walk as the contig
+extractor (mapq ≥ 50, min svlen 30) plus split-segment signatures with the
+stricter Diffolp < 30 criterion (:190-196); signatures are NOT clustered.
+Output is the pos-sorted union of DEL + INS signatures per chromosome
+(`chr*_reads_sig.txt` equivalent, kept in memory as arrays).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import FPFilterConfig, SignatureConfig
+from ..io.bam import BamRecord
+from .signatures import Signature, _read_span, cigar_sigs
+
+_S, _H = 4, 5
+
+
+def _split_sigs_reads(rec1: BamRecord, rec2: BamRecord, chrom: str,
+                      min_mapq: int, min_sv: int, max_sv: int):
+    """ref extract_sig_from_split (extract_reads_signature.py:148-196):
+    same-strand clip-adjacent pair; Diffolp = Ref1e-Ref2s must be < 30;
+    DEL at Ref1e len Diffdis; INS at midpoint len |Diffdis|."""
+    if rec1.pos > rec2.pos:
+        rec1, rec2 = rec2, rec1
+    if rec1.is_reverse != rec2.is_reverse:
+        return []
+    if rec1.mapq < min_mapq or rec2.mapq < min_mapq:
+        return []
+    c1, c2 = np.asarray(rec1.cigar), np.asarray(rec2.cigar)
+    if len(c1) == 0 or len(c2) == 0:
+        return []
+    if c1[-1, 0] not in (_S, _H) or c2[0, 0] not in (_S, _H):
+        return []
+    _, read1e, rl1 = _read_span(c1)
+    read2s, _, rl2 = _read_span(c2)
+    if rl1 != rl2:
+        return []
+    ref1e, ref2s = rec1.reference_end, rec2.pos
+    diffdis = (ref2s - ref1e) - (read2s - read1e)
+    diffolp = ref1e - ref2s
+    if abs(diffdis) > max_sv or diffolp >= 30:
+        return []
+    strand = "-" if rec1.is_reverse else "+"
+    if diffdis >= min_sv:
+        return [Signature(chrom, "DEL", int(ref1e), int(diffdis), rec1.name,
+                          int(read1e), int(read2s), strand,
+                          "split-alignment", str(rec1.mapq))]
+    if diffdis <= -min_sv:
+        return [Signature(chrom, "INS", (ref1e + ref2s) // 2,
+                          int(abs(diffdis)), rec1.name, int(read1e),
+                          int(read2s), strand, "split-alignment",
+                          str(rec1.mapq))]
+    return []
+
+
+def extract_reads_signatures(
+    records: list[BamRecord], chrom: str, cfg: FPFilterConfig,
+    sig_cfg: SignatureConfig | None = None,
+) -> list[Signature]:
+    """All (unclustered) CIGAR + split signatures of the reads BAM."""
+    scfg = sig_cfg or SignatureConfig(
+        min_sv_size=cfg.reads_min_sv_size, min_mapq=cfg.reads_min_mapq)
+    out: list[Signature] = []
+    by_name: dict[str, list[BamRecord]] = {}
+    for r in records:
+        if r.is_unmapped:
+            continue
+        if r.mapq >= cfg.reads_min_mapq:
+            d, i = cigar_sigs(r, chrom, scfg)
+            out.extend(d)
+            out.extend(i)
+            by_name.setdefault(r.name, []).append(r)
+    for name, group in by_name.items():
+        if len(group) < 2:
+            continue
+        group.sort(key=lambda r: r.pos)
+        for a, b in zip(group, group[1:]):
+            out.extend(_split_sigs_reads(
+                a, b, chrom, cfg.reads_min_mapq, cfg.reads_min_sv_size,
+                scfg.max_sv_size))
+    out.sort(key=lambda s: s.pos)
+    return out
+
+
+def support_counts(call_pos: np.ndarray, call_len: np.ndarray,
+                   sig_pos: np.ndarray, sig_len: np.ndarray,
+                   cfg: FPFilterConfig, max_dist: int = 1000,
+                   ) -> np.ndarray:
+    """#read signatures supporting each call (type-agnostic, like the
+    reference: FP_filter_v1.py compare_sigs has no type check).
+
+    match = shift ≤ max_shift & size-sim ≥ min_size_sim, scanned in a
+    ±max_dist window of the pos-sorted signature array (eval_sig :106-123).
+    Vectorized per call."""
+    order = np.argsort(sig_pos, kind="stable")
+    sp, sl = sig_pos[order], sig_len[order]
+    out = np.zeros(len(call_pos), np.int64)
+    lo = np.searchsorted(sp, call_pos - max_dist, "left")
+    hi = np.searchsorted(sp, call_pos + max_dist, "right")
+    for i in range(len(call_pos)):
+        p, L = call_pos[i], call_len[i]
+        w_p, w_l = sp[lo[i]:hi[i]], sl[lo[i]:hi[i]]
+        if len(w_p) == 0:
+            continue
+        shift_ok = np.abs(w_p - p) <= cfg.max_shift
+        size_sim = np.minimum(w_l, L) / np.maximum(w_l, L)
+        out[i] = int(np.sum(shift_ok & (size_sim >= cfg.min_size_sim)))
+    return out
