@@ -16,3 +16,19 @@ host code does streaming I/O and ragged-batch marshalling only.
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_jax() -> None:
+    """Persistent compilation cache: the aligner launches a small family of
+    bucket-shaped DP kernels; caching compiles across processes matters on
+    remote-compile TPU setups."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_configure_jax()

@@ -26,7 +26,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .config import AlignConfig
-from .ops.banded_align import Scores, banded_align_scan, traceback_cigar
+from .ops.banded_align import (Scores, banded_align_scan, pad_batch_pow2,
+                               traceback_cigar)
 from .ops.chain import Chain, chain_anchors
 from .ops.minimizer import MinimizerIndex, sketch_np
 from .ops.pack import decode_codes, encode_seq, revcomp_codes
@@ -150,15 +151,21 @@ def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
 
 
 def _run_refine(ws: list[_Window]):
-    """Batch all 'refine' windows by bucket; exact traceback CIGARs."""
+    """Batch all 'refine' windows by bucket; exact traceback CIGARs.
+
+    One compiled shape per M bucket: targets always pad to mb + _REFINE_W
+    (refine windows satisfy dt ≤ dq + _REFINE_MAX_DIAG < mb + _REFINE_W),
+    keeping the compile count at len(_BUCKETS) instead of its square."""
     from .ops.pack import pad_codes
     groups: dict[tuple[int, int], list[_Window]] = {}
     for w in ws:
-        key = (_bucket(len(w.q_codes)), _bucket(len(w.t_codes) + _REFINE_W))
+        mb = _bucket(max(len(w.q_codes), len(w.t_codes) - _REFINE_W + 1))
+        key = (mb, mb + _REFINE_W)
         groups.setdefault(key, []).append(w)
     for (mb, nb), grp in groups.items():
         q_pad, qlen = pad_codes([w.q_codes for w in grp], pad_to=mb)
         t_pad, tlen = pad_codes([w.t_codes for w in grp], pad_to=nb)
+        q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad, qlen, tlen)
         score, tb, _ = banded_align_scan(
             q_pad, t_pad, qlen, tlen, W=_REFINE_W, d_lo=_REFINE_DLO)
         tb = np.asarray(tb)
@@ -184,6 +191,7 @@ def _run_split(ws: list[_Window]):
             ts.append(w.t_codes[::-1][:L].copy())                          # bwd
         q_pad, qlen = pad_codes(qs, pad_to=Lb)
         t_pad, tlen = pad_codes(ts, pad_to=Lb)
+        q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad, qlen, tlen)
         _, _, _, row0 = banded_align_scan(
             q_pad, t_pad, qlen, tlen, W=_SPLIT_W, d_lo=_SPLIT_DLO,
             with_traceback=False, row0_scores=True)

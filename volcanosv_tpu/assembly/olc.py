@@ -1,0 +1,306 @@
+"""Local OLC assembler for phase-block haplotype read sets.
+
+One native assembler replaces the reference's eight vendored assemblers
+(hifiasm/flye/wtdbg2/canu/miniasm/shasta/nextdenovo/hicanu — invoked per
+phase-block haplotype from General_Assembly_Workflow.py:48-364).  Problems
+are phase-block sized (~10kb–10Mb genome, tens–thousands of reads,
+estimate_gsize General_Assembly_Workflow.py:13-18), so a minimizer-overlap →
+greedy layout → pileup-polish pipeline is sufficient and maps cleanly to
+the device kernels:
+
+  overlap   minimizer anchors + chain DP (ops.chain — the ava-mode of the
+            aligner core; replaces hifiasm's all-vs-all + ksw2)
+  layout    greedy longest-extension path over dovetail overlaps on host
+            (miniasm-style; graphs are tiny)
+  polish    reads realigned to the draft with the banded-DP aligner, then
+            per-column majority vote (substitutions) + indel vote — the
+            consensus step (replaces POA/wtpoa-cns), batched on device.
+
+CLR/ONT mode: duplicate-read removal pre-pass (remove_duplicate,
+General_Assembly_Workflow.py:389-415) and a second polish round.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import AlignConfig, AssemblyConfig
+from ..ops.chain import chain_anchors
+from ..ops.minimizer import MinimizerIndex, sketch_np
+from ..ops.pack import decode_codes, encode_seq, revcomp_codes, revcomp_seq
+from ..utils.logging import get_logger
+
+log = get_logger("assembly")
+
+
+@dataclass
+class _Overlap:
+    a: int
+    b: int
+    # oriented coords: a forward; b maybe reverse-complemented
+    a_start: int
+    a_end: int
+    b_start: int
+    b_end: int
+    strand: int
+    score: float
+
+
+@dataclass
+class AssemblyResult:
+    contigs: list[str] = field(default_factory=list)
+    n_reads: int = 0
+    n_overlaps: int = 0
+
+
+def _find_overlaps(seqs: list[str], cfg: AssemblyConfig,
+                   acfg: AlignConfig) -> list[_Overlap]:
+    """All-vs-all dovetail overlaps via the shared minimizer+chain core."""
+    codes = [encode_seq(s) for s in seqs]
+    index = MinimizerIndex.build({str(i): c for i, c in enumerate(codes)},
+                                 acfg.k, acfg.w)
+    overlaps: list[_Overlap] = []
+    for qi, qc in enumerate(codes):
+        pos, h, st = sketch_np(qc, acfg.k, acfg.w)
+        if len(pos) == 0:
+            continue
+        t_pos, q_pos, strand = index.anchors(pos, h, st)
+        # target read id per anchor
+        t_idx, t_local = index.global_to_local(t_pos)
+        for ti in np.unique(t_idx):
+            if int(ti) == qi:
+                continue
+            sel = t_idx == ti
+            chains = chain_anchors(t_local[sel], q_pos[sel], strand[sel],
+                                   len(qc), acfg, max_chains=1)
+            if not chains:
+                continue
+            ch = chains[0]
+            la, lb = len(qc), len(codes[int(ti)])
+            # dovetail check: unaligned overhangs must be small
+            if ch.strand == 1:
+                b_start, b_end = ch.t_start, ch.t_end
+            else:
+                b_start, b_end = lb - ch.t_end, lb - ch.t_start
+            left_ov = min(ch.q_start, b_start)
+            right_ov = min(la - ch.q_end, lb - b_end)
+            span = ch.q_end - ch.q_start
+            if span < cfg.min_overlap_len:
+                continue
+            if left_ov > cfg.max_overhang or right_ov > cfg.max_overhang:
+                continue
+            overlaps.append(_Overlap(qi, int(ti), ch.q_start, ch.q_end,
+                                     ch.t_start, ch.t_end, ch.strand,
+                                     ch.score))
+    return overlaps
+
+
+def _oriented_coords(ov: _Overlap, la: int, lb: int, o_a: int):
+    """Overlap coords in the oriented frames of A (orientation o_a) and B
+    (o_b = o_a ^ (strand<0)).  Invariant: orientedA[a_s:a_e] matches
+    orientedB[b_s:b_e] colinearly, with exact k-mer anchors at both ends."""
+    o_b = o_a ^ (1 if ov.strand == -1 else 0)
+    if o_a == 0:
+        a_s, a_e = ov.a_start, ov.a_end
+    else:
+        a_s, a_e = la - ov.a_end, la - ov.a_start
+    if o_b == 0:
+        b_s, b_e = ov.b_start, ov.b_end
+    else:
+        b_s, b_e = lb - ov.b_end, lb - ov.b_start
+    return a_s, a_e, b_s, b_e, o_b
+
+
+def _layout(seqs: list[str], overlaps: list[_Overlap],
+            cfg: AssemblyConfig) -> list[str]:
+    """Greedy longest-extension layout into unitig drafts (miniasm-like).
+
+    A contig grows rightward from a seed: at each step pick the unused read
+    B whose oriented suffix extends farthest beyond the current read's
+    oriented end, and append orientedB[b_e + a_tail:] (junction anchored by
+    the exact terminal k-mer of the chain)."""
+    n = len(seqs)
+    used = [False] * n
+    drafts: list[str] = []
+    by_a: dict[int, list[_Overlap]] = {}
+    for ov in overlaps:
+        by_a.setdefault(ov.a, []).append(ov)
+
+    def oriented(i: int, o: int) -> str:
+        return seqs[i] if o == 0 else revcomp_seq(seqs[i])
+
+    order = np.argsort([-len(s) for s in seqs])
+    for start in order:
+        if used[start]:
+            continue
+        used[start] = True
+
+        def walk(start_o: int) -> tuple[str, list[int]]:
+            """Grow rightward from (start, start_o); returns (suffix beyond
+            the seed read, consumed read ids)."""
+            cur, o_cur = int(start), start_o
+            parts: list[str] = []
+            consumed: list[int] = []
+            guard = n + 1
+            while guard > 0:
+                guard -= 1
+                best = None
+                best_ext = 0
+                la = len(seqs[cur])
+                for ov in by_a.get(cur, []):
+                    if used[ov.b]:
+                        continue
+                    lb = len(seqs[ov.b])
+                    a_s, a_e, b_s, b_e, o_b = _oriented_coords(
+                        ov, la, lb, o_cur)
+                    a_tail = la - a_e
+                    if a_tail > cfg.max_overhang:
+                        continue
+                    ext = (lb - b_e) - a_tail
+                    if ext > best_ext:
+                        best_ext = ext
+                        best = (ov, b_e + a_tail, o_b)
+                if best is None:
+                    break
+                ov, cut, o_b = best
+                bs = oriented(ov.b, o_b)
+                parts.append(bs[cut:])
+                used[ov.b] = True
+                consumed.append(ov.b)
+                cur, o_cur = ov.b, o_b
+            return "".join(parts), consumed
+
+        right, _ = walk(0)
+        left_rc, _ = walk(1)     # grow the other way: right in rc frame
+        contig = revcomp_seq(left_rc) + seqs[start] + right if left_rc \
+            else seqs[start] + right
+        drafts.append(contig)
+    return drafts
+
+
+def polish(draft: str, read_seqs: list[str], acfg: AlignConfig,
+           rounds: int = 1) -> str:
+    """Pileup consensus polish: realign reads to the draft (banded DP) and
+    apply majority substitutions + majority small indels."""
+    from ..aligner import Aligner
+    from ..phasing.pileup import pileup_chromosome
+    from ..config import PhasingConfig
+
+    for _ in range(rounds):
+        aligner = Aligner({"d": draft}, acfg)
+        recs = aligner.to_bam_records(
+            aligner.align([(f"r{i}", s) for i, s in enumerate(read_seqs)]),
+            {f"r{i}": s for i, s in enumerate(read_seqs)})
+        if not recs:
+            return draft
+        codes = encode_seq(draft)
+        pcfg = PhasingConfig(min_depth=2, max_depth=100000,
+                             min_allele_frac=0.5, max_allele_frac=2.0,
+                             min_mapq=0)
+        pile = pileup_chromosome(recs, codes, pcfg)
+        # substitutions: alt strictly beats ref
+        sub = pile.alt_count > pile.ref_count
+        new = codes.copy()
+        new[pile.snp_pos[sub]] = pile.alt_base[sub]
+
+        # indel votes from cigars
+        ins_at: dict[int, dict[str, int]] = {}
+        del_at: dict[tuple[int, int], int] = {}
+        cov = np.zeros(len(draft) + 1, np.int32)
+        for r in recs:
+            if r.is_unmapped or r.is_secondary:
+                continue
+            cov[r.pos] += 1
+            cov[min(r.reference_end, len(draft))] -= 1
+            ref_pos = r.pos
+            q_pos = 0
+            seq = r.seq
+            for op, ln in np.asarray(r.cigar):
+                op, ln = int(op), int(ln)
+                if op in (0, 7, 8):
+                    ref_pos += ln
+                    q_pos += ln
+                elif op == 1:
+                    if ln <= 50:
+                        d = ins_at.setdefault(ref_pos, {})
+                        s = seq[q_pos:q_pos + ln]
+                        d[s] = d.get(s, 0) + 1
+                    q_pos += ln
+                elif op == 2:
+                    if ln <= 50:
+                        del_at[(ref_pos, ln)] = del_at.get((ref_pos, ln), 0) + 1
+                    ref_pos += ln
+                elif op == 4:
+                    q_pos += ln
+        depth = np.cumsum(cov[:-1])
+        edits: list[tuple[int, int, str]] = []   # (pos, del_len, ins_seq)
+        for p, variants in ins_at.items():
+            s, cnt = max(variants.items(), key=lambda kv: kv[1])
+            if cnt > depth[min(p, len(depth) - 1)] / 2:
+                edits.append((p, 0, s))
+        for (p, ln), cnt in del_at.items():
+            if cnt > depth[min(p, len(depth) - 1)] / 2:
+                edits.append((p, ln, ""))
+        edits.sort(key=lambda e: -e[0])
+        out = decode_codes(new)
+        last = len(out) + 1
+        for p, dl, ins in edits:
+            if p + dl > last:      # avoid overlapping edits
+                continue
+            out = out[:p] + ins + out[p + dl:]
+            last = p
+        if out == draft:
+            return out
+        draft = out
+        read_seqs = read_seqs  # next round realigns to the new draft
+    return draft
+
+
+def _dedup_reads(seqs: list[str]) -> list[str]:
+    """CLR/ONT duplicate-read pre-pass (remove_duplicate
+    General_Assembly_Workflow.py:389-415): drop exact-prefix duplicates."""
+    seen: set[str] = set()
+    out = []
+    for s in seqs:
+        key = s[:200]
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(s)
+    return out
+
+
+def assemble_block(read_seqs: list[str], cfg: AssemblyConfig,
+                   polish_rounds: int | None = None) -> AssemblyResult:
+    """Assemble one phase-block haplotype read set into contigs."""
+    if cfg.dedup_reads:
+        read_seqs = _dedup_reads(read_seqs)
+    if len(read_seqs) < cfg.min_reads:
+        return AssemblyResult([], len(read_seqs), 0)
+    if len(read_seqs) == 1:
+        return AssemblyResult([read_seqs[0]], 1, 0)
+    acfg = AlignConfig.preset("ava")
+    overlaps = _find_overlaps(read_seqs, cfg, acfg)
+    # containment removal (hifiasm/miniasm pre-pass): a read whose span is
+    # ~fully covered by a longer read neither seeds nor extends
+    contained = np.zeros(len(read_seqs), bool)
+    for ov in overlaps:
+        la, lb = len(read_seqs[ov.a]), len(read_seqs[ov.b])
+        if (ov.a_end - ov.a_start) >= 0.95 * la and lb > la:
+            contained[ov.a] = True
+        if (ov.b_end - ov.b_start) >= 0.95 * lb and la > lb:
+            contained[ov.b] = True
+    overlaps = [ov for ov in overlaps
+                if not contained[ov.a] and not contained[ov.b]]
+    kept = [s if not contained[i] else "" for i, s in enumerate(read_seqs)]
+    drafts = [d for d in _layout(kept, overlaps, cfg) if d]
+    rounds = cfg.consensus_rounds if polish_rounds is None else polish_rounds
+    out = []
+    pcfg = AlignConfig.preset("map-hifi")
+    for d in drafts:
+        if rounds > 0 and len(read_seqs) >= 3:
+            d = polish(d, read_seqs, pcfg, rounds)
+        out.append(d)
+    out.sort(key=len, reverse=True)
+    return AssemblyResult(out, len(read_seqs), len(overlaps))

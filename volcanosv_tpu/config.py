@@ -129,7 +129,8 @@ class RedundancyConfig:
 class CovFilterConfig:
     """Relative-coverage band-pass, per (asm,dtype). ref: filter_para.csv +
     filter_vcf_by_sig_cov_insdel.py:20-27.  Bounds are multiples of the
-    per-run median rel_cov; nan disables a side."""
+    per-run median rel_cov.  Full table (filter_para.csv, volcano rows):
+    hifi (0.2, 2.605), clr (0.186, 3.018), ont (0.242, 2.77)."""
     flank: int = 1_000
     del_low: float = 0.2             # volcano/hifi DEL band (filter_para.csv:5)
     del_high: float = 2.605
@@ -149,11 +150,24 @@ class GTCorrectionConfig:
     min_size_sim: float = 0.6
     del_flank: int = 150
     ins_flank: int = 100
-    # n_ratio = support/depth cutoffs per size class [ (lo,hi,het_lo,hom_lo) ]
-    # hom if ratio >= hom_lo else het if >= het_lo else 0/0-able (keep het)
-    size_bins: tuple = ((30, 100), (100, 1000), (1000, 10**9))
-    het_lo: tuple = (0.2, 0.2, 0.2)
-    hom_lo: tuple = (0.75, 0.75, 0.8)
+    size_boundary: int = 1_000       # 'large' vs 'small' (correct_gt_eval)
+    # n_ratio thresholds (t_large_11, t_small_11, t_large_01, t_small_01);
+    # None disables (== 'nan' in para/GT_correction_para_{dtype}_{TYPE}.txt)
+    del_thresholds: tuple = (0.6, 0.69, 0.71, 0.91)       # Hifi DEL
+    ins_thresholds: tuple = (None, 0.59, 0.63, 0.79)      # Hifi INS
+
+    @staticmethod
+    def for_dtype(dtype: "DataType") -> "GTCorrectionConfig":
+        """Learned per-dtype cutoffs (para/GT_correction_para_*.txt)."""
+        if dtype == DataType.HIFI:
+            return GTCorrectionConfig()
+        if dtype == DataType.CLR:
+            return GTCorrectionConfig(
+                del_thresholds=(0.55, 0.59, 0.65, 0.75),
+                ins_thresholds=(None, None, 0.64, 0.75))
+        return GTCorrectionConfig(
+            del_thresholds=(0.61, 0.61, 0.68, 0.79),
+            ins_thresholds=(None, None, 0.67, 0.72))
 
 
 @dataclass(frozen=True)
@@ -272,7 +286,8 @@ class PipelineConfig:
     @staticmethod
     def for_dtype(dtype: DataType | str) -> "PipelineConfig":
         dtype = DataType(dtype)
-        base = PipelineConfig(dtype=dtype)
+        base = PipelineConfig(
+            dtype=dtype, gt_correction=GTCorrectionConfig.for_dtype(dtype))
         if dtype == DataType.HIFI:
             return base
         if dtype == DataType.CLR:
@@ -280,11 +295,15 @@ class PipelineConfig:
             return dataclasses.replace(
                 base,
                 signature=dataclasses.replace(base.signature, split_rel_overlap=0.3),
+                cov_filter=dataclasses.replace(
+                    base.cov_filter, del_low=0.186, del_high=3.018),
                 assembly=dataclasses.replace(base.assembly, dedup_reads=True),
             )
         # ONT: r=0.5 (extract_contig_signature_ONT.py:348-380)
         return dataclasses.replace(
             base,
             signature=dataclasses.replace(base.signature, split_rel_overlap=0.5),
+            cov_filter=dataclasses.replace(
+                base.cov_filter, del_low=0.242, del_high=2.77),
             assembly=dataclasses.replace(base.assembly, dedup_reads=True),
         )

@@ -75,6 +75,7 @@ class BamRecord:
         ops, lens = self.cigar[:, 0], self.cigar[:, 1]
         return int(lens[_CIGAR_CONSUMES_REF[ops] > 0].sum())
 
+    @property
     def reference_end(self) -> int:
         return self.pos + self.reference_length()
 

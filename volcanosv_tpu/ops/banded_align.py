@@ -283,6 +283,22 @@ def full_affine_score_np(q: np.ndarray, t: np.ndarray, s: Scores = Scores()) -> 
     return int(H[n])
 
 
+def pad_batch_pow2(q, t, qlen, tlen, min_b: int = 8):
+    """Pad the batch dim to a power of two so each (B, M, N, W) shape family
+    compiles once.  Padding rows get qlen=tlen=1 (trivially in-band).
+    Returns (q, t, qlen, tlen, original_B)."""
+    B = q.shape[0]
+    Bp = max(min_b, 1 << max(0, (B - 1).bit_length()))
+    if Bp == B:
+        return q, t, qlen, tlen, B
+    pb = Bp - B
+    q = np.concatenate([q, np.full((pb, q.shape[1]), 4, q.dtype)])
+    t = np.concatenate([t, np.full((pb, t.shape[1]), 4, t.dtype)])
+    qlen = np.concatenate([qlen, np.ones(pb, qlen.dtype)])
+    tlen = np.concatenate([tlen, np.ones(pb, tlen.dtype)])
+    return q, t, qlen, tlen, B
+
+
 def edit_distance_batch(q, t, qlen, tlen, W: int = 128, d_lo: int | None = None):
     """Batched banded edit distance (replaces edlib): distance = -score with
     unit costs.  Returns (B,) int32 distances (band-limited lower bound)."""

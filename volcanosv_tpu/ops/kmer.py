@@ -96,6 +96,52 @@ def unique_mask(tables: jnp.ndarray) -> jnp.ndarray:
     return present & (n_present == 1)
 
 
+@jax.jit
+def distinct_runs(hashes: jnp.ndarray, valid: jnp.ndarray):
+    """Per-row distinct k-mer view: sort each row, mark first occurrences,
+    compute multiplicities — the device replacement for the reference's
+    per-read `Counter` (get_raw_kmer_overlap…py count_overlap:43-49).
+
+    hashes/valid: (B, n).  Returns (sorted_h (B,n) int32 with invalid rows
+    pushed to the end as 2^30, first (B,n) bool, runlen (B,n) int32)."""
+    big = jnp.int32(1 << 30)
+    h = jnp.where(valid, hashes, big)
+    s = jnp.sort(h, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((h.shape[0], 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    first = first & (s != big)
+    # run length of each first occurrence = next boundary - index
+    n = h.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    # boundary index of the *next* first occurrence (or n)
+    nxt = jnp.where(first, idx, n + 1)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([nxt[:, 1:], jnp.full((h.shape[0], 1), n, jnp.int32)],
+                        axis=1), axis=1), axis=1), axis=1)
+    # count of valid entries per row caps the final run
+    nvalid = jnp.sum(valid, axis=1, keepdims=True)
+    runlen = jnp.clip(jnp.minimum(nxt, nvalid) - idx, 0, None)
+    return s, first, runlen
+
+
+@jax.jit
+def overlap_scores(sorted_h: jnp.ndarray, first: jnp.ndarray,
+                   runlen: jnp.ndarray, tables: jnp.ndarray,
+                   unique: jnp.ndarray) -> jnp.ndarray:
+    """4-way (or H-way) unique-k-mer overlap vote.
+
+    score[b, j] = Σ_{distinct k of read b present & unique in table j}
+                  (R_b[k] + table_j[k])   — get_raw_kmer_overlap…py:43-49.
+
+    tables: (H, 4^k) counts; unique: (H, 4^k) bool.  Returns (B, H)."""
+    g = jnp.clip(sorted_h, 0, tables.shape[1] - 1)
+    t = tables[:, g]                     # (H, B, n)
+    u = unique[:, g]                     # (H, B, n)
+    w = (first & (runlen > 0))[None, :, :]
+    contrib = jnp.where(u & w, runlen[None, :, :] + t, 0)
+    return jnp.sum(contrib, axis=2).T.astype(jnp.int32)
+
+
 def count_kmers_dense_np(codes_list, k: int) -> np.ndarray:
     """Host fallback for small inputs."""
     table = np.zeros(4**k, np.int64)

@@ -1,0 +1,179 @@
+"""K-mer haplotype partitioning of reads (SURVEY.md §7 step 5).
+
+Replaces the reference's L2 script chain (unphased_reads_assignment_kmer_
+norm.py → bamtoseq/HashSeq/prepare_info_v1/count_kmer_v1/split_hash_by_hp/
+get_raw_kmer_overlap_count_unphased_est_pbs_v1.py), whose hot loops are
+pure-Python string/Counter work:
+
+* phased reads carry (hap, phase-block) from the phaser (HP/PS equivalent)
+* each unphased read is routed to its 2 nearest phase blocks by interval
+  distance (prepare_info_v1.py:95-133)
+* per-(block,hap) dense k-mer count tables (k=12 → 4^12 tables) are built
+  on device by scatter-add (count_kmer_v1.py equivalent)
+* the 4-way unique-k-mer overlap vote runs as batched gathers over the
+  tables (get_raw_kmer_overlap…py:43-71); scores are L2-normalized, a
+  global (1 - sig_level) quantile sets the confident-assignment cutoff:
+  confident → argmax haplotype, else → both haplotypes of the argmax block
+  (:156-182)
+
+Output: read name → [haplotype names] with names PS<pb>_<start>_<end>_hp<h>
+(General_Assembly_Workflow reformat naming), feeding the assembly farm.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PartitionConfig
+from ..ops.kmer import (count_kmers_dense, distinct_runs, kmer_hashes,
+                        overlap_scores)
+from ..ops.pack import encode_seq, pad_codes
+from ..utils.logging import get_logger
+
+log = get_logger("partition")
+
+_CHUNK = 64          # unphased reads scored per device launch
+
+
+def hap_name(block_id: int, start: int, end: int, hp: int) -> str:
+    """PS<pb>_<start>_<end>_hp<h> (1-based coords, reference naming)."""
+    return f"PS{block_id}_{start}_{end}_hp{hp}"
+
+
+@dataclass
+class PartitionResult:
+    assignment: dict[str, list[str]]     # read name → [hap names]
+    blocks: list[tuple[int, int, int]]   # (block_id, start, end) 1-based
+    n_single: int = 0
+    n_double: int = 0
+
+
+def _read_hashes(seqs: list[str], k: int):
+    codes = [encode_seq(s) for s in seqs]
+    padded, lens = pad_codes(codes)
+    h, v = kmer_hashes(jnp.asarray(padded), k)
+    # clip validity to actual lengths
+    n = h.shape[1]
+    idx = np.arange(n)[None, :]
+    v = np.asarray(v) & (idx < (lens[:, None] - k + 1))
+    return np.asarray(h), v
+
+
+def build_hap_tables(hap_read_seqs: dict[str, list[str]], k: int,
+                     ) -> dict[str, np.ndarray]:
+    """Dense 4^k count table per haplotype from its phased reads."""
+    out = {}
+    for hap, seqs in hap_read_seqs.items():
+        if not seqs:
+            out[hap] = np.zeros(4**k, np.int32)
+            continue
+        table = np.zeros(4**k, np.int32)
+        for i in range(0, len(seqs), _CHUNK):
+            h, v = _read_hashes(seqs[i:i + _CHUNK], k)
+            table += np.asarray(count_kmers_dense(
+                jnp.asarray(h), jnp.asarray(v), k))
+        out[hap] = table
+    return out
+
+
+def nearest_blocks(read_iv: tuple[int, int],
+                   blocks: list[tuple[int, int, int]], n: int = 2
+                   ) -> list[int]:
+    """Block ids of the n nearest blocks by interval distance
+    (prepare_info_v1.py assign_unphased :95-133)."""
+    s, e = read_iv
+    dists = []
+    for bid, bs, be in blocks:
+        d = max(0, bs - e, s - be)
+        dists.append((d, bid))
+    dists.sort()
+    return [bid for _, bid in dists[:n]]
+
+
+def partition_reads(
+    phased: dict[str, tuple[int, int]],        # read → (hap 1|2, block_id)
+    unphased: dict[str, tuple[str, tuple[int, int]]],  # read → (seq, (s,e))
+    phased_seqs: dict[str, str],
+    blocks: list[tuple[int, int, int]],
+    cfg: PartitionConfig,
+) -> PartitionResult:
+    """Assign every read to haplotype group(s)."""
+    block_span = {bid: (s, e) for bid, s, e in blocks}
+
+    def hname(bid: int, hp: int) -> str:
+        s, e = block_span[bid]
+        return hap_name(bid, s + 1, e + 1, hp)
+
+    assignment: dict[str, list[str]] = {}
+    hap_read_seqs: dict[str, list[str]] = {}
+    for rname, (hp, bid) in phased.items():
+        if bid not in block_span:
+            continue
+        hn = hname(bid, hp)
+        assignment[rname] = [hn]
+        seq = phased_seqs.get(rname)
+        if seq and len(seq) >= cfg.min_read_len:
+            hap_read_seqs.setdefault(hn, []).append(seq)
+
+    if not unphased or not blocks:
+        return PartitionResult(assignment, blocks)
+
+    tables = build_hap_tables(hap_read_seqs, cfg.k)
+    zero = np.zeros(4**cfg.k, np.int32)
+
+    # group unphased reads by candidate block pair
+    groups: dict[tuple[int, int], list[str]] = {}
+    for rname, (seq, iv) in unphased.items():
+        if len(seq) < cfg.min_read_len or "N" in seq[:cfg.k]:
+            pass
+        nb = nearest_blocks(iv, blocks, cfg.n_nearest_blocks)
+        if not nb:
+            continue
+        if len(nb) == 1:
+            nb = [nb[0], nb[0]]
+        groups.setdefault((nb[0], nb[1]), []).append(rname)
+
+    all_scores: list[np.ndarray] = []
+    all_names: list[str] = []
+    all_haps: list[list[str]] = []
+    for (b1, b2), rnames in groups.items():
+        haps = [hname(b1, 1), hname(b1, 2), hname(b2, 1), hname(b2, 2)]
+        t4 = np.stack([tables.get(h, zero) for h in haps])
+        present = t4 > 0
+        unique = present & (present.sum(0, keepdims=True) == 1)
+        t4_d = jnp.asarray(t4)
+        u_d = jnp.asarray(unique)
+        for i in range(0, len(rnames), _CHUNK):
+            chunk = rnames[i:i + _CHUNK]
+            seqs = [unphased[r][0] for r in chunk]
+            h, v = _read_hashes(seqs, cfg.k)
+            s, first, runlen = distinct_runs(jnp.asarray(h), jnp.asarray(v))
+            sc = np.asarray(overlap_scores(s, first, runlen, t4_d, u_d))
+            all_scores.append(sc)
+            all_names.extend(chunk)
+            all_haps.extend([haps] * len(chunk))
+
+    if not all_names:
+        return PartitionResult(assignment, blocks)
+
+    X = np.concatenate(all_scores).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.maximum(norms, 1e-12)
+    cutoff = float(np.quantile(Xn.flatten(), 1 - cfg.sig_level))
+    n_single = n_double = 0
+    pair_of = {0: (0, 1), 1: (0, 1), 2: (2, 3), 3: (2, 3)}
+    for i, rname in enumerate(all_names):
+        row = Xn[i]
+        j = int(np.argmax(row))
+        if row[j] >= cutoff and norms[i] > 0:
+            picks = [j]
+            n_single += 1
+        else:
+            picks = list(pair_of[j])
+            n_double += 1
+        assignment[rname] = [all_haps[i][p] for p in picks]
+    log.info("partition: %d single, %d double (%.1f%% single)",
+             n_single, n_double, 100 * n_single / max(n_single + n_double, 1))
+    return PartitionResult(assignment, blocks, n_single, n_double)

@@ -101,6 +101,35 @@ def implant_svs(
     return hap1, hap2, truth
 
 
+def implant_snps(
+    rng: np.random.Generator,
+    hap1: dict[str, str], hap2: dict[str, str],
+    rate: float = 1 / 1500,
+) -> tuple[dict[str, str], dict[str, str], dict[str, np.ndarray]]:
+    """Sprinkle het SNPs (each on one random haplotype) — the phasing
+    signal.  Returns (hap1, hap2, positions per chrom in hap coords of the
+    mutated haplotype)."""
+    bases = "ACGT"
+    out1, out2, pos_out = {}, {}, {}
+    for chrom in hap1:
+        h1, h2 = list(hap1[chrom]), list(hap2[chrom])
+        n = int(rate * min(len(h1), len(h2)))
+        pos = np.sort(rng.choice(np.arange(100, min(len(h1), len(h2)) - 100),
+                                 n, replace=False))
+        for p in pos:
+            target = h1 if rng.random() < 0.5 else h2
+            old = target[p]
+            alt = bases[(bases.index(old) + 1 + int(rng.integers(3))) % 4] \
+                if old in bases else "A"
+            if alt == old:
+                alt = bases[(bases.index(old) + 1) % 4]
+            target[p] = alt
+        out1[chrom] = "".join(h1)
+        out2[chrom] = "".join(h2)
+        pos_out[chrom] = pos
+    return out1, out2, pos_out
+
+
 def mutate_read(rng: np.random.Generator, seq: str, sub_rate: float,
                 indel_rate: float) -> str:
     """Apply sequencing errors (substitutions + 1-3bp indels)."""

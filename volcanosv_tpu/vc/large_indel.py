@@ -19,6 +19,7 @@ from ..io.bam import BamRecord
 from ..io.vcf import VcfRecord
 from ..ops.pack import revcomp_seq
 from ..utils.logging import get_logger
+from .gt_correction import correct_genotypes, coverage_filter
 from .pairing import PairedCall, pair_haplotype_sigs
 from .redundancy import find_redundant
 from .reads_sig import extract_reads_signatures, support_counts
@@ -176,4 +177,13 @@ def call_chromosome(
     if reads_sigs is not None:
         records = fp_filter_records(records, reads_sigs, cfg)
     records = remove_redundancy_records(records, cfg)
+    if reads_sigs is not None and reads_records is not None:
+        # filter_GT_correction.py chain: coverage band-pass + GT re-estimate
+        records = coverage_filter(records, reads_sigs, cfg.cov_filter)
+        rs = np.array([r.pos for r in reads_records if not r.is_unmapped],
+                      np.int64)
+        re_ = np.array([r.reference_end for r in reads_records
+                        if not r.is_unmapped], np.int64)
+        records = correct_genotypes(records, reads_sigs, rs, re_,
+                                    cfg.gt_correction)
     return phase_records(records)
