@@ -1,0 +1,110 @@
+"""Complex-SV path: INV / DUP / TRA detection from haplotype contigs.
+
+Reference contract: volcanosv-vc-complex-sv.py (svim-asm diploid +
+align_ins2ref DUP recovery + filter_tra + filter_inv)."""
+import numpy as np
+import pytest
+
+from volcanosv_tpu.aligner import Aligner
+from volcanosv_tpu.config import AlignConfig, PipelineConfig
+from volcanosv_tpu.sim import (contigs_from_haplotypes, implant_snps,
+                               implant_svs, random_genome, simulate_reads)
+from volcanosv_tpu.vc.complex_sv import call_complex_svs, segment_candidates
+
+
+@pytest.fixture(scope="module")
+def inv_case():
+    rng = np.random.default_rng(11)
+    ref = random_genome(rng, 80_000)
+    hap1, hap2, truth = implant_svs(
+        rng, ref, n_del=0, n_ins=0, n_inv=4, n_dup=3,
+        min_len=300, max_len=1_200, min_gap=4_000)
+    contigs = contigs_from_haplotypes(hap1, hap2, block_size=40_000)
+    reads = simulate_reads(
+        rng, {1: hap1, 2: hap2}, coverage=16.0, read_len=9_000,
+        read_len_sd=1_000, sub_rate=0.001, indel_rate=0.0003)
+    return ref, truth, contigs, reads
+
+
+def test_inv_dup_end_to_end(inv_case):
+    ref, truth, contigs, reads = inv_case
+    cfg = PipelineConfig.for_dtype("Hifi")
+
+    aligner = Aligner(ref, AlignConfig.preset("asm10"))
+    contig_recs = aligner.to_bam_records(
+        aligner.align(list(contigs.items())), contigs)
+
+    read_seqs = {n: s for n, s, *_ in reads}
+    ra = Aligner(ref, AlignConfig.preset("map-hifi"))
+    read_recs = ra.to_bam_records(ra.align(list(read_seqs.items())),
+                                  read_seqs)
+
+    # large-indel INS calls feed DUP recovery (driver :131-138)
+    from volcanosv_tpu.vc.large_indel import call_chromosome
+    ins_records = [r for r in call_chromosome(
+        "chr1", contig_recs, ref["chr1"], contigs, cfg)
+        if r.svtype == "INS"]
+
+    records = call_complex_svs(
+        {"chr1": contig_recs}, ref, cfg, ins_records=ins_records,
+        reads_by_chrom={"chr1": read_recs})
+
+    invs = [r for r in records if r.svtype == "INV"]
+    dups = [r for r in records if r.svtype == "DUP"]
+    inv_truth = [t for t in truth if t.svtype == "INV"]
+    dup_truth = [t for t in truth if t.svtype == "DUP"]
+
+    def match(calls, ev, tol=150):
+        return any(abs((r.pos - 1) - ev.pos) <= tol
+                   and min(r.svlen, ev.svlen) / max(r.svlen, ev.svlen) >= 0.6
+                   for r in calls)
+
+    inv_recall = sum(match(invs, t) for t in inv_truth) / len(inv_truth)
+    dup_recall = sum(match(dups, t, tol=900) for t in dup_truth) / len(dup_truth)
+    assert inv_recall >= 0.75, (inv_recall, [(r.pos, r.svlen) for r in invs],
+                                [(t.pos, t.svlen) for t in inv_truth])
+    assert dup_recall >= 0.6, (dup_recall, [(r.pos, r.svlen) for r in dups],
+                               [(t.pos, t.svlen) for t in dup_truth])
+    # no spurious flood
+    assert len(invs) <= len(inv_truth) + 2
+    # phased GTs
+    for r in invs + dups:
+        assert r.gt in ("1|0", "0|1", "1|1"), r
+
+
+def test_bnd_from_cross_chrom_contig():
+    """A contig spliced from two chromosomes must yield a clustered BND."""
+    rng = np.random.default_rng(5)
+    ref = random_genome(rng, 40_000, n_chroms=2)
+    a, b = 20_000, 21_000
+    fusion = ref["chr1"][:a] + ref["chr2"][b:]
+    contigs = {"PS1_1_40000_hp1_0": fusion,
+               "PS1_1_40000_hp2_0": fusion}   # hom translocation
+    cfg = PipelineConfig.for_dtype("Hifi")
+    aligner = Aligner(ref, AlignConfig.preset("asm10"))
+    alns = aligner.align(list(contigs.items()))
+    recs = aligner.to_bam_records(alns, contigs)
+    by_chrom = {"chr1": [], "chr2": []}
+    for r in recs:
+        by_chrom[aligner.names[r.ref_id]].append(r)
+    records = call_complex_svs(by_chrom, ref, cfg)
+    bnds = [r for r in records if r.svtype == "BND"]
+    assert len(bnds) == 1, [(r.chrom, r.pos, r.alt, r.gt) for r in bnds]
+    r = bnds[0]
+    assert r.gt == "1|1"
+    assert abs(r.pos - a) <= 100, r.pos
+    assert r.info["CHR2"] == "chr2"
+    assert "[" in r.alt or "]" in r.alt
+
+
+def test_inv_candidates_need_reverse_segment(inv_case):
+    """The aligner must emit minority-strand supplementary segments over
+    implanted inversions (regression for anchor-coverage selection)."""
+    ref, truth, contigs, reads = inv_case
+    cfg = PipelineConfig.for_dtype("Hifi")
+    aligner = Aligner(ref, AlignConfig.preset("asm10"))
+    recs = aligner.to_bam_records(aligner.align(list(contigs.items())),
+                                  contigs)
+    cands = (segment_candidates({"chr1": recs}, 1, cfg.complex_sv)
+             + segment_candidates({"chr1": recs}, 2, cfg.complex_sv))
+    assert any(c.svtype == "INV" for c in cands)

@@ -282,18 +282,37 @@ class Aligner:
         with stage_timer("assemble", log):
             return self._assemble(plans)
 
+    def _anchor_cover(self, ch: Chain, qlen: int,
+                      hole: int = 500) -> list[tuple[int, int]]:
+        """Forward-orientation query intervals actually covered by anchors
+        (gaps > `hole` between anchors stay uncovered, so an opposite-strand
+        chain filling e.g. an inversion interior is not shadowed)."""
+        k = self.cfg.k
+        a = np.sort(ch.anchors_q)
+        iv: list[list[int]] = [[int(a[0]), int(a[0]) + k]]
+        for x in a[1:]:
+            x = int(x)
+            if x <= iv[-1][1] + hole:
+                iv[-1][1] = max(iv[-1][1], x + k)
+            else:
+                iv.append([x, x + k])
+        if ch.strand == -1:
+            iv = [[qlen - e, qlen - s] for s, e in iv]
+        return [(s, e) for s, e in iv]
+
     def _select(self, chains: list[Chain], qlen: int) -> list[Chain]:
-        """Primary + non-redundant supplementary selection by query overlap."""
+        """Primary + non-redundant supplementary selection by query overlap
+        against anchor-covered intervals (not whole chain spans)."""
         out: list[Chain] = []
         cov: list[tuple[int, int]] = []
         for ch in chains:
             ov = 0
             for s, e in cov:
-                ov = max(ov, min(e, ch.q_end) - max(s, ch.q_start))
+                ov += max(0, min(e, ch.q_end) - max(s, ch.q_start))
             if ov > 0.5 * (ch.q_end - ch.q_start):
                 continue
             out.append(ch)
-            cov.append((ch.q_start, ch.q_end))
+            cov.extend(self._anchor_cover(ch, qlen))
         return out
 
     def _assemble(self, plans) -> list[Alignment]:
