@@ -1,0 +1,358 @@
+"""Command-line drivers — parity with the reference's CLI surface.
+
+Reference CLIs (README.md:97-423): volcanosv-asm.py, volcanosv-vc-large-indel.py,
+volcanosv-vc-small-indel.py, volcanosv-vc-complex-sv.py, Utils/Merge_VCF.py.
+Here they are subcommands of one entry point:
+
+    python -m volcanosv_tpu.cli sim            --out_dir sim/
+    python -m volcanosv_tpu.cli asm            --ref ref.fa --fastq reads.fq --out_dir out/
+    python -m volcanosv_tpu.cli vc-large-indel --ref ref.fa --contig contigs.fa --out_dir out/
+    python -m volcanosv_tpu.cli vc-small-indel --ref ref.fa --contig contigs.fa --out_dir out/
+    python -m volcanosv_tpu.cli vc-complex-sv  --ref ref.fa --contig contigs.fa --out_dir out/
+    python -m volcanosv_tpu.cli merge-vcf      --out_vcf merged.vcf a.vcf b.vcf ...
+    python -m volcanosv_tpu.cli run            --ref ref.fa --fastq reads.fq --out_dir out/
+
+The `--contig` FASTAs use the reference's contig naming contract
+(PS<pb>_<start>_<end>_hp{1,2}_<n>, i.e. the '-otherasm' entry:
+volcanosv-vc-large-indel-otherasm.py README.md:397-410)."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .config import PipelineConfig
+from .utils.logging import get_logger, stage_timer
+
+log = get_logger("cli")
+
+
+# ---------------------------------------------------------------------------
+# shared loading helpers
+# ---------------------------------------------------------------------------
+
+def _load_ref(path: str) -> dict[str, str]:
+    from .io.fasta import read_fasta
+    return read_fasta(path)
+
+
+def _load_reads(args) -> dict[str, str]:
+    """Read name → sequence from --fastq or --bam."""
+    seqs: dict[str, str] = {}
+    if getattr(args, "fastq", None):
+        from .io.fastq import read_fastq
+        for name, seq, _q in read_fastq(args.fastq):
+            seqs[name] = seq
+    elif getattr(args, "bam", None):
+        from .io.bam import BamReader
+        with BamReader(args.bam) as br:
+            for rec in br:
+                if rec.seq and not rec.is_secondary and not rec.is_supplementary:
+                    seqs[rec.name] = rec.seq
+    return seqs
+
+
+def _align_by_chrom(ref: dict[str, str], seqs: dict[str, str], preset: str):
+    """Align sequences to ref; returns (records_by_chrom, aligner)."""
+    from .aligner import Aligner
+    from .config import AlignConfig
+    aligner = Aligner(ref, AlignConfig.preset(preset))
+    recs = aligner.to_bam_records(aligner.align(list(seqs.items())), seqs)
+    by_chrom: dict[str, list] = {c: [] for c in ref}
+    for r in recs:
+        by_chrom[aligner.names[r.ref_id]].append(r)
+    return by_chrom, aligner
+
+
+def _read_preset(dtype: str) -> str:
+    return {"Hifi": "map-hifi", "CLR": "map-pb", "ONT": "map-ont"}[dtype]
+
+
+def _maybe_reads_by_chrom(args, ref):
+    if not (getattr(args, "fastq", None) or getattr(args, "bam", None)):
+        return None, {}
+    read_seqs = _load_reads(args)
+    by_chrom, _ = _align_by_chrom(ref, read_seqs, _read_preset(args.dtype))
+    return by_chrom, read_seqs
+
+
+def _vcf_out(out_dir: str, name: str, ref: dict[str, str], records) -> str:
+    from .io.vcf import make_header, write_vcf
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, name)
+    n = write_vcf(path, make_header({c: len(s) for c, s in ref.items()}),
+                  records)
+    log.info("wrote %d records → %s", n, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+def cmd_sim(args) -> int:
+    """Synthesize ref + diploid SVs + reads (+ truth VCF) for testing."""
+    from . import sim
+    from .io.fasta import write_fasta
+    from .io.fastq import write_fastq
+    from .io.vcf import VcfRecord, make_header, write_vcf
+    rng = np.random.default_rng(args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    ref = sim.random_genome(rng, args.length, n_chroms=args.chroms)
+    hap1, hap2, truth = sim.implant_svs(
+        rng, ref, n_del=args.n_del, n_ins=args.n_ins, n_inv=args.n_inv,
+        n_dup=args.n_dup, min_len=args.min_len, max_len=args.max_len)
+    hap1, hap2, _ = sim.implant_snps(rng, hap1, hap2, rate=args.snp_rate)
+    reads = sim.simulate_reads(
+        rng, {1: hap1, 2: hap2}, coverage=args.coverage,
+        read_len=args.read_len, sub_rate=args.err, indel_rate=args.err / 2)
+    write_fasta(os.path.join(args.out_dir, "ref.fa"), ref)
+    write_fastq(os.path.join(args.out_dir, "reads.fastq"),
+                ((n, s, None) for n, s, *_ in reads))
+    trecs = []
+    for i, t in enumerate(truth):
+        gt = "1|1" if t.gt == (1, 1) else ("1|0" if t.gt[0] else "0|1")
+        trecs.append(VcfRecord(
+            chrom=t.chrom, pos=t.pos + 1, id=f"truth-{i}", ref="N",
+            alt=f"<{t.svtype}>", gt=gt,
+            info={"SVTYPE": t.svtype, "SVLEN": t.svlen,
+                  "END": t.pos + 1 + t.svlen}))
+    write_vcf(os.path.join(args.out_dir, "truth.vcf"),
+              make_header({c: len(s) for c, s in ref.items()}), trecs)
+    contigs = sim.contigs_from_haplotypes(hap1, hap2)
+    write_fasta(os.path.join(args.out_dir, "true_contigs.fa"), contigs)
+    log.info("sim → %s (%d reads, %d truth SVs)", args.out_dir,
+             len(reads), len(truth))
+    return 0
+
+
+def _run_asm(ref, read_seqs, args):
+    """phase → partition → assemble every chromosome; returns contigs."""
+    from .ops.pack import encode_seq
+    from .pipeline.asm import assemble_chromosome
+    cfg = PipelineConfig.for_dtype(args.dtype)
+    by_chrom, _ = _align_by_chrom(ref, read_seqs, _read_preset(args.dtype))
+    contigs: dict[str, str] = {}
+    chroms = [args.chrom] if getattr(args, "chrom", None) else list(ref)
+    for chrom in chroms:
+        recs = by_chrom.get(chrom, [])
+        if not recs:
+            continue
+        with stage_timer(f"asm[{chrom}]", log):
+            ctgs, _ph, _part = assemble_chromosome(
+                recs, encode_seq(ref[chrom]), read_seqs, cfg)
+        for name, seq in ctgs.items():
+            while name in contigs:            # cross-chrom PS id collision
+                name += "b"
+            contigs[name] = seq
+    return contigs
+
+
+def cmd_asm(args) -> int:
+    from .io.fasta import write_fasta
+    ref = _load_ref(args.ref)
+    read_seqs = _load_reads(args)
+    if not read_seqs:
+        log.error("asm requires --fastq or --bam")
+        return 2
+    contigs = _run_asm(ref, read_seqs, args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    out = os.path.join(args.out_dir, "final_contigs.fa")
+    write_fasta(out, contigs)
+    log.info("assembly: %d contigs → %s", len(contigs), out)
+    return 0
+
+
+def cmd_vc_large_indel(args) -> int:
+    from .io.fasta import read_fasta
+    from .vc.large_indel import call_chromosome
+    ref = _load_ref(args.ref)
+    contigs = read_fasta(args.contig)
+    cfg = PipelineConfig.for_dtype(args.dtype)
+    by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
+    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
+    records = []
+    for chrom in ref:
+        with stage_timer(f"large-indel[{chrom}]", log):
+            records += call_chromosome(
+                chrom, by_chrom.get(chrom, []), ref[chrom], contigs, cfg,
+                reads_records=(reads_by_chrom or {}).get(chrom))
+    _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, records)
+    return 0
+
+
+def cmd_vc_small_indel(args) -> int:
+    from .io.fasta import read_fasta
+    from .vc.small_indel import call_small_indels
+    ref = _load_ref(args.ref)
+    contigs = read_fasta(args.contig)
+    cfg = PipelineConfig.for_dtype(args.dtype)
+    by_chrom, _ = _align_by_chrom(ref, contigs, "asm20")
+    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
+    records = []
+    for chrom in ref:
+        with stage_timer(f"small-indel[{chrom}]", log):
+            records += call_small_indels(
+                chrom, by_chrom.get(chrom, []), ref[chrom], cfg,
+                reads_records=(reads_by_chrom or {}).get(chrom))
+    _vcf_out(args.out_dir, "volcanosv_small_indel.vcf", ref, records)
+    return 0
+
+
+def cmd_vc_complex_sv(args) -> int:
+    from .io.fasta import read_fasta
+    from .vc.complex_sv import call_complex_svs
+    from .vc.large_indel import call_chromosome
+    ref = _load_ref(args.ref)
+    contigs = read_fasta(args.contig)
+    cfg = PipelineConfig.for_dtype(args.dtype)
+    by_chrom, _ = _align_by_chrom(ref, contigs, "asm10")
+    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
+    # INS calls for DUP recovery (volcanosv-vc-complex-sv.py:131-138)
+    ins_records = []
+    for chrom in ref:
+        ins_records += [r for r in call_chromosome(
+            chrom, by_chrom.get(chrom, []), ref[chrom], contigs, cfg)
+            if r.svtype == "INS"]
+    with stage_timer("complex-sv", log):
+        records = call_complex_svs(by_chrom, ref, cfg,
+                                   ins_records=ins_records,
+                                   reads_by_chrom=reads_by_chrom)
+    _vcf_out(args.out_dir, "volcanosv_complex_sv.vcf", ref, records)
+    return 0
+
+
+def cmd_merge_vcf(args) -> int:
+    from .io.vcf import merge_vcfs
+    n = merge_vcfs(args.vcfs, args.out_vcf)
+    log.info("merged %d records → %s", n, args.out_vcf)
+    return 0
+
+
+def cmd_run(args) -> int:
+    """Full pipeline: asm + all three vc paths + merge (one command)."""
+    from .io.fasta import write_fasta
+    from .io.vcf import merge_vcfs
+    from .vc.complex_sv import call_complex_svs
+    from .vc.large_indel import call_chromosome
+    from .vc.small_indel import call_small_indels
+    ref = _load_ref(args.ref)
+    read_seqs = _load_reads(args)
+    if not read_seqs:
+        log.error("run requires --fastq or --bam")
+        return 2
+    cfg = PipelineConfig.for_dtype(args.dtype)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    contigs = _run_asm(ref, read_seqs, args)
+    write_fasta(os.path.join(args.out_dir, "final_contigs.fa"), contigs)
+    log.info("assembly: %d contigs", len(contigs))
+
+    reads_by_chrom, _ = _align_by_chrom(ref, read_seqs,
+                                        _read_preset(args.dtype))
+    li_by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
+    large, ins_records = [], []
+    for chrom in ref:
+        recs = call_chromosome(chrom, li_by_chrom.get(chrom, []), ref[chrom],
+                               contigs, cfg,
+                               reads_records=reads_by_chrom.get(chrom))
+        large += recs
+        ins_records += [r for r in recs if r.svtype == "INS"]
+    p_large = _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, large)
+
+    si_by_chrom, _ = _align_by_chrom(ref, contigs, "asm20")
+    small = []
+    for chrom in ref:
+        small += call_small_indels(chrom, si_by_chrom.get(chrom, []),
+                                   ref[chrom], cfg,
+                                   reads_records=reads_by_chrom.get(chrom))
+    p_small = _vcf_out(args.out_dir, "volcanosv_small_indel.vcf", ref, small)
+
+    cx_by_chrom, _ = _align_by_chrom(ref, contigs, "asm10")
+    complex_recs = call_complex_svs(cx_by_chrom, ref, cfg,
+                                    ins_records=ins_records,
+                                    reads_by_chrom=reads_by_chrom)
+    p_cx = _vcf_out(args.out_dir, "volcanosv_complex_sv.vcf", ref,
+                    complex_recs)
+
+    out = os.path.join(args.out_dir, "volcanosv_variants.vcf")
+    n = merge_vcfs([p_large, p_small, p_cx], out)
+    log.info("FINAL: %d variants → %s", n, out)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+def _add_common(p, contig=False, reads=True):
+    p.add_argument("--ref", required=True, help="reference FASTA")
+    p.add_argument("--out_dir", "-o", required=True)
+    p.add_argument("--dtype", "-d", default="Hifi",
+                   choices=["Hifi", "CLR", "ONT"])
+    if contig:
+        p.add_argument("--contig", required=True,
+                       help="hp1/hp2-named contig FASTA (otherasm contract)")
+    if reads:
+        p.add_argument("--fastq", help="reads FASTQ(.gz)")
+        p.add_argument("--bam", help="reads BAM")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="volcanosv_tpu",
+        description="TPU-native diploid SV engine (VolcanoSV capabilities)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("sim", help="synthesize test data")
+    p.add_argument("--out_dir", "-o", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--length", type=int, default=80_000)
+    p.add_argument("--chroms", type=int, default=1)
+    p.add_argument("--n_del", type=int, default=4)
+    p.add_argument("--n_ins", type=int, default=4)
+    p.add_argument("--n_inv", type=int, default=0)
+    p.add_argument("--n_dup", type=int, default=0)
+    p.add_argument("--min_len", type=int, default=60)
+    p.add_argument("--max_len", type=int, default=400)
+    p.add_argument("--snp_rate", type=float, default=1 / 1500)
+    p.add_argument("--coverage", type=float, default=24.0)
+    p.add_argument("--read_len", type=int, default=8_000)
+    p.add_argument("--err", type=float, default=0.001)
+    p.set_defaults(fn=cmd_sim)
+
+    p = sub.add_parser("asm", help="phase + partition + assemble")
+    _add_common(p)
+    p.add_argument("--chrom", help="restrict to one chromosome")
+    p.set_defaults(fn=cmd_asm)
+
+    p = sub.add_parser("vc-large-indel", help="large-indel calling (≥30bp)")
+    _add_common(p, contig=True)
+    p.set_defaults(fn=cmd_vc_large_indel)
+
+    p = sub.add_parser("vc-small-indel", help="small-indel calling (2-49bp)")
+    _add_common(p, contig=True)
+    p.set_defaults(fn=cmd_vc_small_indel)
+
+    p = sub.add_parser("vc-complex-sv", help="INV/DUP/TRA calling")
+    _add_common(p, contig=True)
+    p.set_defaults(fn=cmd_vc_complex_sv)
+
+    p = sub.add_parser("merge-vcf", help="merge VCFs (Merge_VCF.py)")
+    p.add_argument("vcfs", nargs="+")
+    p.add_argument("--out_vcf", required=True)
+    p.set_defaults(fn=cmd_merge_vcf)
+
+    p = sub.add_parser("run", help="full pipeline reads → merged VCF")
+    _add_common(p)
+    p.set_defaults(fn=cmd_run)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
