@@ -283,7 +283,7 @@ class Aligner:
             return self._assemble(plans)
 
     def _anchor_cover(self, ch: Chain, qlen: int,
-                      hole: int = 500) -> list[tuple[int, int]]:
+                      hole: int = 100) -> list[tuple[int, int]]:
         """Forward-orientation query intervals actually covered by anchors
         (gaps > `hole` between anchors stay uncovered, so an opposite-strand
         chain filling e.g. an inversion interior is not shadowed)."""

@@ -136,6 +136,8 @@ class CovFilterConfig:
     del_high: float = 2.605
     apply_del: bool = True
     apply_ins: bool = False          # reference filters DEL only (ft_vtype='DEL')
+    min_calls: int = 20              # median of fewer calls is meaningless;
+                                     # the reference only runs this on WGS sets
 
 
 @dataclass(frozen=True)

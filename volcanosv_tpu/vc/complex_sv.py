@@ -131,9 +131,13 @@ def segment_candidates(records_by_chrom: dict[str, list[BamRecord]],
                 ref_gap = a.pos - b.ref_end
                 dup_len = b.ref_end - a.pos
                 dup_pos = a.pos
+            q_gap = b.qo_start - a.qo_end
             if ref_gap < -cfg.segment_overlap_tol:
-                # back-jump on the reference → tandem duplication
-                if cfg.min_sv_size <= dup_len <= cfg.max_sv_size:
+                # back-jump on the reference → tandem duplication; a real
+                # junction is contiguous on the query (SVIM_inter DUP_TAN
+                # distance tolerance) — large |q_gap| means a chimeric contig
+                if (cfg.min_sv_size <= dup_len <= cfg.max_sv_size
+                        and abs(q_gap) <= 2 * cfg.segment_overlap_tol):
                     out.append(Candidate("DUP", a.ref_name, dup_pos,
                                          dup_pos + dup_len, dup_len, hap,
                                          qname))

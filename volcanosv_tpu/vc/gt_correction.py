@@ -161,7 +161,7 @@ def coverage_filter(records: list[VcfRecord],
         if not apply_it:
             continue
         idx = [i for i, r in enumerate(records) if r.svtype == svtype]
-        if len(idx) < 3:
+        if len(idx) < cfg.min_calls:
             continue
         sp, sl, sc = aggregate_read_sigs(reads_sigs, svtype)
         if len(sp) == 0:
