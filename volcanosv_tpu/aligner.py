@@ -26,7 +26,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .config import AlignConfig
-from .ops.banded_align import (Scores, banded_align_scan, pad_batch_pow2,
+from .ops.banded_align import (Scores, banded_align_auto,
+                               banded_row0_auto, pad_batch_pow2,
                                traceback_cigar)
 from .ops.chain import Chain, chain_anchors
 from .ops.minimizer import MinimizerIndex, sketch_np
@@ -166,11 +167,10 @@ def _run_refine(ws: list[_Window]):
         q_pad, qlen = pad_codes([w.q_codes for w in grp], pad_to=mb)
         t_pad, tlen = pad_codes([w.t_codes for w in grp], pad_to=nb)
         q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad, qlen, tlen)
-        score, tb, _ = banded_align_scan(
+        score, tb_get, _ = banded_align_auto(
             q_pad, t_pad, qlen, tlen, W=_REFINE_W, d_lo=_REFINE_DLO)
-        tb = np.asarray(tb)
         for i, w in enumerate(grp):
-            cig = traceback_cigar(tb[:, i], int(qlen[i]), int(tlen[i]),
+            cig = traceback_cigar(tb_get(i), int(qlen[i]), int(tlen[i]),
                                   d_lo=_REFINE_DLO)
             w.result = cig
 
@@ -192,10 +192,8 @@ def _run_split(ws: list[_Window]):
         q_pad, qlen = pad_codes(qs, pad_to=Lb)
         t_pad, tlen = pad_codes(ts, pad_to=Lb)
         q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad, qlen, tlen)
-        _, _, _, row0 = banded_align_scan(
-            q_pad, t_pad, qlen, tlen, W=_SPLIT_W, d_lo=_SPLIT_DLO,
-            with_traceback=False, row0_scores=True)
-        row0 = np.asarray(row0)  # (M, B)
+        row0 = banded_row0_auto(
+            q_pad, t_pad, qlen, tlen, W=_SPLIT_W, d_lo=_SPLIT_DLO)  # (M, B)
         for i, w in enumerate(grp):
             L = int(qlen[2 * i])
             fwd = np.concatenate([[0], row0[:L, 2 * i]])      # F[s], s=0..L

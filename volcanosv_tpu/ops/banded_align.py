@@ -204,6 +204,60 @@ def banded_align_scan(
     return best, tb, best_j
 
 
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def banded_align_auto(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
+                      scores: Scores = Scores()):
+    """Traceback-path dispatch: Pallas kernel on TPU, lax.scan elsewhere.
+
+    Returns (score (B,), tb_get: b -> (M, W) uint8 view, end_j (B,))."""
+    if _tpu_backend() and q.shape[1] % 8 == 0:
+        from .pallas import banded_align_pallas
+        s, tb, ej = banded_align_pallas(q, t, qlen, tlen, W=W, d_lo=d_lo,
+                                        scores=scores)
+        tb_np = np.asarray(tb)
+        return s, (lambda b: tb_np[:, :, b]), ej
+    s, tb, ej = banded_align_scan(q, t, qlen, tlen, W=W, d_lo=d_lo,
+                                  scores=scores)
+    tb_np = np.asarray(tb)
+    return s, (lambda b: tb_np[:, b]), ej
+
+
+def banded_row0_auto(q, t, qlen, tlen, W: int = 128, d_lo: int = -64,
+                     scores: Scores = Scores()) -> np.ndarray:
+    """Diagonal-0 score profile (M, B) for the split-DP breakpoint search —
+    Pallas on TPU, lax.scan elsewhere."""
+    if _tpu_backend() and q.shape[1] % 8 == 0:
+        from .pallas import banded_align_pallas
+        _, _, _, row0 = banded_align_pallas(
+            q, t, qlen, tlen, W=W, d_lo=d_lo, scores=scores,
+            with_traceback=False, row0_scores=True)
+        return np.asarray(row0)
+    _, _, _, row0 = banded_align_scan(
+        q, t, qlen, tlen, W=W, d_lo=d_lo, scores=scores,
+        with_traceback=False, row0_scores=True)
+    return np.asarray(row0)
+
+
+def edit_distance_batch_auto(q, t, qlen, tlen, W: int = 128,
+                             d_lo: int | None = None):
+    """Batched banded edit distance with TPU dispatch (replaces edlib)."""
+    if d_lo is None:
+        d_lo = -(W // 2)
+    if _tpu_backend() and q.shape[1] % 8 == 0:
+        from .pallas import banded_align_pallas
+        score, _, _ = banded_align_pallas(
+            q, t, qlen, tlen, W=W, d_lo=d_lo, scores=Scores.edit(),
+            with_traceback=False)
+        return -np.asarray(score)
+    return np.asarray(edit_distance_batch(q, t, qlen, tlen, W=W, d_lo=d_lo))
+
+
 def traceback_cigar(tb: np.ndarray, qlen: int, tlen: int, d_lo: int,
                     end_j: int | None = None,
                     free_t_start: bool = False) -> list[tuple[int, int]]:

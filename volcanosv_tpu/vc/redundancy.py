@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import RedundancyConfig
-from ..ops.banded_align import edit_distance_batch, pad_batch_pow2
+from ..ops.banded_align import edit_distance_batch_auto, pad_batch_pow2
 from ..ops.pack import encode_seq, pad_codes
 
 
@@ -63,7 +63,7 @@ def edit_sim_batch(seq_pairs: list[tuple[str, str]]) -> np.ndarray:
         t, tlen = pad_codes(ts, pad_to=L)
         q, t, qlen_p, tlen_p, B = pad_batch_pow2(q, t, qlen, tlen)
         W = min(max(128, _pow2ceil(L // 2 + 64)), 4096)
-        dist = np.asarray(edit_distance_batch(q, t, qlen_p, tlen_p, W=W))[:B]
+        dist = np.asarray(edit_distance_batch_auto(q, t, qlen_p, tlen_p, W=W))[:B]
         tot = qlen.astype(np.int64) + tlen.astype(np.int64)
         tot = np.maximum(tot, 1)
         sims[idxs] = (tot - dist) / tot
