@@ -150,6 +150,15 @@ def _run_asm(ref, read_seqs, args):
     return contigs
 
 
+def _align_reads_to_contigs(contigs: dict[str, str],
+                            read_seqs: dict[str, str], dtype: str):
+    from .aligner import Aligner
+    from .config import AlignConfig
+    al = Aligner(contigs, AlignConfig.preset(_read_preset(dtype)))
+    recs = al.to_bam_records(al.align(list(read_seqs.items())), read_seqs)
+    return recs, al.names
+
+
 def cmd_asm(args) -> int:
     from .io.fasta import write_fasta
     ref = _load_ref(args.ref)
@@ -158,10 +167,50 @@ def cmd_asm(args) -> int:
         log.error("asm requires --fastq or --bam")
         return 2
     contigs = _run_asm(ref, read_seqs, args)
+    if getattr(args, "sd", False):
+        # SD loop needs the read partition; approximate groups from contig
+        # hap names by re-aligning reads to contigs (Evaluate_Assembly.py)
+        from .pipeline.sd import hap_of_contig, sd_recover
+        cfg = PipelineConfig.for_dtype(args.dtype)
+        roc, names = _align_reads_to_contigs(contigs, read_seqs, args.dtype)
+        groups: dict[str, list[str]] = {}
+        for r in roc:
+            if r.is_unmapped or r.is_secondary or r.is_supplementary:
+                continue
+            h = hap_of_contig(names[r.ref_id])
+            seq = read_seqs.get(r.name)
+            if seq:
+                groups.setdefault(h, []).append(seq)
+        contigs, _qc = sd_recover(contigs, groups, roc, cfg)
     os.makedirs(args.out_dir, exist_ok=True)
     out = os.path.join(args.out_dir, "final_contigs.fa")
     write_fasta(out, contigs)
     log.info("assembly: %d contigs → %s", len(contigs), out)
+    return 0
+
+
+def cmd_qc(args) -> int:
+    """Assembly QC report: per-contig window states + collapsed list."""
+    from .io.fasta import read_fasta
+    from .qc import evaluate_assembly
+    contigs = read_fasta(args.contig)
+    read_seqs = _load_reads(args)
+    if not read_seqs:
+        log.error("qc requires --fastq or --bam")
+        return 2
+    cfg = PipelineConfig.for_dtype(args.dtype)
+    roc, names = _align_reads_to_contigs(contigs, read_seqs, args.dtype)
+    res = evaluate_assembly(contigs, roc, names, cfg.qc)
+    os.makedirs(args.out_dir, exist_ok=True)
+    out = os.path.join(args.out_dir, "flagger_blocks.bed")
+    from .qc.flagger import STATE_NAMES
+    with open(out, "w") as fh:
+        for c in res.states:
+            for st in range(4):
+                for s, e in res.blocks(c, st):
+                    fh.write(f"{c}\t{s}\t{e}\t{STATE_NAMES[st]}\n")
+    log.info("QC: λ=%.1f, collapsed contigs: %s → %s",
+             res.lam, res.collapsed or "none", out)
     return 0
 
 
@@ -324,7 +373,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("asm", help="phase + partition + assemble")
     _add_common(p)
     p.add_argument("--chrom", help="restrict to one chromosome")
+    p.add_argument("--sd", action="store_true",
+                   help="QC + re-assemble collapsed blocks (SD recovery)")
     p.set_defaults(fn=cmd_asm)
+
+    p = sub.add_parser("qc", help="coverage-HMM assembly QC (Flagger equiv)")
+    _add_common(p, contig=True)
+    p.set_defaults(fn=cmd_qc)
 
     p = sub.add_parser("vc-large-indel", help="large-indel calling (≥30bp)")
     _add_common(p, contig=True)
