@@ -1,0 +1,58 @@
+"""WGS collectives on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from volcanosv_tpu.parallel import make_mesh
+from volcanosv_tpu.parallel.mesh import AXES, batch_sharding
+from volcanosv_tpu.parallel.wgs import (build_global_median_step,
+                                        build_sig_merge_step)
+
+
+def _shard_put(mesh, x):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(AXES.genome)))
+
+
+def test_sig_merge_dedups_boundary_duplicates():
+    mesh = make_mesh(8, genome_shards=4)
+    S = 8                                  # per-shard padded sig slots
+    n_sh = mesh.shape[AXES.genome]
+    pos = np.full((n_sh * S,), 0, np.int64)
+    svlen = np.full((n_sh * S,), 1, np.int64)
+    valid = np.zeros((n_sh * S,), bool)
+    # shard 0: sigs at 1000 (len 100) and 5000 (len 60)
+    pos[0:2] = [1000, 5000]; svlen[0:2] = [100, 60]; valid[0:2] = True
+    # shard 1: boundary duplicate of the 5000 sig (shift 40, same size)
+    pos[S] = 5040; svlen[S] = 58; valid[S] = True
+    # shard 2: distinct sig
+    pos[2 * S] = 9000; svlen[2 * S] = 200; valid[2 * S] = True
+    step = build_sig_merge_step(mesh, max_shift=100, min_size_sim=0.5)
+    sp, sl, keep = step(_shard_put(mesh, pos), _shard_put(mesh, svlen),
+                        _shard_put(mesh, valid))
+    sp, sl, keep = map(np.asarray, (sp, sl, keep))
+    kept = sorted(zip(sp[keep].tolist(), sl[keep].tolist()))
+    assert kept == [(1000, 100), (5000, 60), (9000, 200)], kept
+
+
+def test_global_median_matches_numpy():
+    mesh = make_mesh(8, genome_shards=4)
+    rng = np.random.default_rng(0)
+    n_sh = mesh.shape[AXES.genome]
+    S = 16
+    x = rng.uniform(0, 10, n_sh * S).astype(np.float32)
+    valid = rng.random(n_sh * S) < 0.7
+    step = build_global_median_step(mesh)
+    med = float(step(_shard_put(mesh, x), _shard_put(mesh, valid)))
+    want = float(np.median(x[valid]))
+    assert abs(med - want) < 1e-5, (med, want)
+
+
+def test_global_median_empty():
+    mesh = make_mesh(8, genome_shards=4)
+    S = 8
+    n_sh = mesh.shape[AXES.genome]
+    step = build_global_median_step(mesh)
+    med = float(step(_shard_put(mesh, np.zeros(n_sh * S, np.float32)),
+                     _shard_put(mesh, np.zeros(n_sh * S, bool))))
+    assert med == 0.0
