@@ -1,0 +1,52 @@
+"""CLI surface: sim → run (multi-chromosome WGS) → merged VCF sanity."""
+import os
+
+import numpy as np
+import pytest
+
+from volcanosv_tpu.cli import main
+from volcanosv_tpu.io.vcf import read_vcf
+
+
+@pytest.fixture(scope="module")
+def wgs_run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wgs")
+    sim_dir, out_dir = str(d / "sim"), str(d / "out")
+    assert main(["sim", "-o", sim_dir, "--length", "40000", "--chroms", "2",
+                 "--n_del", "3", "--n_ins", "3", "--coverage", "26",
+                 "--read_len", "6000", "--seed", "3"]) == 0
+    assert main(["run", "--ref", f"{sim_dir}/ref.fa",
+                 "--fastq", f"{sim_dir}/reads.fastq", "-o", out_dir]) == 0
+    return sim_dir, out_dir
+
+
+def test_wgs_outputs_exist(wgs_run):
+    _sim, out = wgs_run
+    for f in ("final_contigs.fa", "volcanosv_large_indel.vcf",
+              "volcanosv_small_indel.vcf", "volcanosv_complex_sv.vcf",
+              "volcanosv_variants.vcf"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_wgs_recall_both_chroms(wgs_run):
+    sim, out = wgs_run
+    _h, truth = read_vcf(os.path.join(sim, "truth.vcf"))
+    _h2, calls = read_vcf(os.path.join(out, "volcanosv_variants.vcf"))
+    assert {r.chrom for r in calls} == {"chr1", "chr2"}, \
+        sorted({r.chrom for r in calls})
+    tp = 0
+    for t in truth:
+        svlen = abs(int(t.info["SVLEN"]))
+        for r in calls:
+            if (r.chrom == t.chrom and r.svtype == t.info["SVTYPE"]
+                    and abs(r.pos - t.pos) <= 500
+                    and min(r.svlen, svlen) / max(r.svlen, svlen) >= 0.6):
+                tp += 1
+                break
+    recall = tp / len(truth)
+    assert recall >= 0.8, (recall, len(truth), len(calls))
+    # merged VCF is coordinate-sorted per chrom
+    pos = {}
+    for r in calls:
+        assert r.pos >= pos.get(r.chrom, 0), (r.chrom, r.pos)
+        pos[r.chrom] = r.pos

@@ -54,3 +54,19 @@ def test_pipeline_end_to_end(pipeline_case):
     recall, precision, gt_frac = truvari_score(truth, records)
     assert recall >= 0.8, (recall, precision, len(records), len(truth))
     assert precision >= 0.7, (recall, precision, len(records))
+
+
+def test_hybrid_bed_mode(pipeline_case):
+    """In-BED blocks take the duplicate-aware profile; output still covers
+    the genome (volcanosv-asm_hybrid.py parity)."""
+    from volcanosv_tpu.pipeline import assemble_chromosome as asm
+    ref, truth, reads = pipeline_case
+    cfg = PipelineConfig.for_dtype("Hifi")
+    read_seqs = {n: s for n, s, *_ in reads}
+    al = Aligner(ref, AlignConfig.preset("map-hifi"))
+    recs = al.to_bam_records(al.align(list(read_seqs.items())), read_seqs)
+    contigs, _ph, _part = asm(
+        recs, encode_seq(ref["chr1"]), read_seqs, cfg,
+        hybrid_bed=[(0, 40_000)])
+    total = sum(len(s) for s in contigs.values())
+    assert total >= 1.2 * len(ref["chr1"]), total

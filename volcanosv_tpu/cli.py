@@ -133,6 +133,10 @@ def _run_asm(ref, read_seqs, args):
     from .ops.pack import encode_seq
     from .pipeline.asm import assemble_chromosome
     cfg = PipelineConfig.for_dtype(args.dtype)
+    bed = {}
+    if getattr(args, "hybrid_bed", None):
+        from .io.bed import read_bed
+        bed = read_bed(args.hybrid_bed)
     by_chrom, _ = _align_by_chrom(ref, read_seqs, _read_preset(args.dtype))
     contigs: dict[str, str] = {}
     chroms = [args.chrom] if getattr(args, "chrom", None) else list(ref)
@@ -142,7 +146,8 @@ def _run_asm(ref, read_seqs, args):
             continue
         with stage_timer(f"asm[{chrom}]", log):
             ctgs, _ph, _part = assemble_chromosome(
-                recs, encode_seq(ref[chrom]), read_seqs, cfg)
+                recs, encode_seq(ref[chrom]), read_seqs, cfg,
+                hybrid_bed=bed.get(chrom))
         for name, seq in ctgs.items():
             while name in contigs:            # cross-chrom PS id collision
                 name += "b"
@@ -375,6 +380,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chrom", help="restrict to one chromosome")
     p.add_argument("--sd", action="store_true",
                    help="QC + re-assemble collapsed blocks (SD recovery)")
+    p.add_argument("--hybrid_bed",
+                   help="BED of regions assembled with the in-BED profile "
+                        "(hybrid mode, volcanosv-asm_hybrid.py parity)")
     p.set_defaults(fn=cmd_asm)
 
     p = sub.add_parser("qc", help="coverage-HMM assembly QC (Flagger equiv)")

@@ -110,6 +110,10 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     cand_pos, cand_alt, cand_cnt = cand_pos[keep], cand_alt[keep], cand_cnt[keep]
     depth, af = depth[keep], af[keep]
     is_het = af <= cfg.max_allele_frac
+    if len(cand_pos) == 0:
+        z8, z32 = np.zeros(0, np.int8), np.zeros(0, np.int32)
+        return PileupResult(cand_pos.astype(np.int64), z8, z8, z32, z32,
+                            z32, np.zeros(0, bool), z32, z32, z8, names)
 
     # observations at candidate sites
     obs_read, obs_snp, obs_allele = [], [], []

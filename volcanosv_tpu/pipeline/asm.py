@@ -23,10 +23,17 @@ def assemble_chromosome(
     ref_codes: np.ndarray,
     read_seqs: dict[str, str],
     cfg: PipelineConfig,
+    hybrid_bed: list[tuple[int, int]] | None = None,
 ) -> tuple[dict[str, str], PhaseResult, PartitionResult]:
     """records: read alignments on one chromosome (primary, with seq).
     read_seqs: read name → full-length sequence (original orientation).
-    Returns (contigs {PS…_hp…_n: seq}, phase result, partition result)."""
+    Returns (contigs {PS…_hp…_n: seq}, phase result, partition result).
+
+    hybrid_bed: optional interval list on this chromosome; phase blocks
+    overlapping an interval are assembled with the duplicate-aware "in-BED"
+    profile, the rest with the default — the reference's two-assembler
+    hybrid mode (volcanosv-asm_hybrid.py:118-124) collapsed onto per-region
+    assembly profiles of the single native assembler."""
     with stage_timer("pileup", log):
         pile = pileup_chromosome(records, ref_codes, cfg.phasing)
     with stage_timer("phase", log):
@@ -83,5 +90,23 @@ def assemble_chromosome(
 
     from ..assembly import run_assembly
     with stage_timer("assembly", log):
-        contigs, failed = run_assembly(groups, cfg.assembly)
+        if hybrid_bed:
+            import dataclasses
+
+            def in_bed(hap: str) -> bool:
+                # PS<pb>_<start>_<end>_hp<h> — 1-based block span
+                f = hap.split("_")
+                s0, e0 = int(f[1]) - 1, int(f[2])
+                return any(s0 < e and b < e0 for b, e in hybrid_bed)
+
+            in_groups = {h: g for h, g in groups.items() if in_bed(h)}
+            out_groups = {h: g for h, g in groups.items() if h not in in_groups}
+            in_cfg = dataclasses.replace(
+                cfg.assembly, dedup_reads=True,
+                consensus_rounds=cfg.assembly.consensus_rounds + 1)
+            c1, f1 = run_assembly(in_groups, in_cfg)
+            c2, f2 = run_assembly(out_groups, cfg.assembly)
+            contigs, failed = {**c1, **c2}, f1 + f2
+        else:
+            contigs, failed = run_assembly(groups, cfg.assembly)
     return contigs, ph, part
