@@ -50,3 +50,17 @@ def test_wgs_recall_both_chroms(wgs_run):
     for r in calls:
         assert r.pos >= pos.get(r.chrom, 0), (r.chrom, r.pos)
         pos[r.chrom] = r.pos
+
+
+def test_wgs_phased_snp_vcf(wgs_run):
+    """asm/run emit the longshot-equivalent phased SNP VCF (README.md:237-238)."""
+    _sim, out = wgs_run
+    _h, snps = read_vcf(os.path.join(out, "phased_snps.vcf"))
+    assert snps, "no SNP records emitted"
+    het = [r for r in snps if r.gt in ("0|1", "1|0")]
+    assert het, "no phased het SNPs"
+    for r in het:
+        assert r.ps is not None          # every phased site carries PS
+        assert r.ref in "ACGT" and r.alt in "ACGT" and r.ref != r.alt
+    # all phase-set members of a block share the same PS id per chrom
+    assert {r.chrom for r in snps} <= {"chr1", "chr2"}

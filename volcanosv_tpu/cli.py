@@ -129,8 +129,12 @@ def cmd_sim(args) -> int:
 
 
 def _run_asm(ref, read_seqs, args):
-    """phase → partition → assemble every chromosome; returns contigs."""
+    """phase → partition → assemble every chromosome.
+
+    Returns (contigs, phased SNP VcfRecords — the longshot-VCF-equivalent
+    output, README.md:237-238)."""
     from .ops.pack import encode_seq
+    from .phasing import snp_vcf_records
     from .pipeline.asm import assemble_chromosome
     cfg = PipelineConfig.for_dtype(args.dtype)
     bed = {}
@@ -139,20 +143,22 @@ def _run_asm(ref, read_seqs, args):
         bed = read_bed(args.hybrid_bed)
     by_chrom, _ = _align_by_chrom(ref, read_seqs, _read_preset(args.dtype))
     contigs: dict[str, str] = {}
+    snp_records = []
     chroms = [args.chrom] if getattr(args, "chrom", None) else list(ref)
     for chrom in chroms:
         recs = by_chrom.get(chrom, [])
         if not recs:
             continue
         with stage_timer(f"asm[{chrom}]", log):
-            ctgs, _ph, _part = assemble_chromosome(
+            ctgs, ph, _part = assemble_chromosome(
                 recs, encode_seq(ref[chrom]), read_seqs, cfg,
                 hybrid_bed=bed.get(chrom))
+        snp_records += snp_vcf_records(chrom, ph)
         for name, seq in ctgs.items():
             while name in contigs:            # cross-chrom PS id collision
                 name += "b"
             contigs[name] = seq
-    return contigs
+    return contigs, snp_records
 
 
 def _align_reads_to_contigs(contigs: dict[str, str],
@@ -171,7 +177,8 @@ def cmd_asm(args) -> int:
     if not read_seqs:
         log.error("asm requires --fastq or --bam")
         return 2
-    contigs = _run_asm(ref, read_seqs, args)
+    contigs, snp_records = _run_asm(ref, read_seqs, args)
+    _vcf_out(args.out_dir, "phased_snps.vcf", ref, snp_records)
     if getattr(args, "sd", False):
         # SD loop needs the read partition; approximate groups from contig
         # hap names by re-aligning reads to contigs (Evaluate_Assembly.py)
@@ -300,8 +307,9 @@ def cmd_run(args) -> int:
     cfg = PipelineConfig.for_dtype(args.dtype)
     os.makedirs(args.out_dir, exist_ok=True)
 
-    contigs = _run_asm(ref, read_seqs, args)
+    contigs, snp_records = _run_asm(ref, read_seqs, args)
     write_fasta(os.path.join(args.out_dir, "final_contigs.fa"), contigs)
+    _vcf_out(args.out_dir, "phased_snps.vcf", ref, snp_records)
     log.info("assembly: %d contigs", len(contigs))
 
     reads_by_chrom, _ = _align_by_chrom(ref, read_seqs,
