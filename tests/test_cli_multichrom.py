@@ -64,3 +64,15 @@ def test_wgs_phased_snp_vcf(wgs_run):
         assert r.ref in "ACGT" and r.alt in "ACGT" and r.ref != r.alt
     # all phase-set members of a block share the same PS id per chrom
     assert {r.chrom for r in snps} <= {"chr1", "chr2"}
+
+
+def test_wgs_truvari_equiv_eval(wgs_run):
+    """In-repo truvari-equivalent benchmark on the full WGS run
+    (README.md:493-498 protocol: r=500 P=0.5 p=0.5 O=0.01 S=30)."""
+    sim, out = wgs_run
+    from volcanosv_tpu.eval import evaluate_files
+    res = evaluate_files(os.path.join(sim, "truth.vcf"),
+                         os.path.join(out, "volcanosv_variants.vcf"))
+    assert res.recall >= 0.8, res.summary()
+    assert res.precision >= 0.7, res.summary()
+    assert res.gt_concordance >= 0.7, res.summary()

@@ -285,6 +285,17 @@ def cmd_vc_complex_sv(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Truvari-equivalent benchmark (README.md:493-498 protocol)."""
+    import json
+    from .eval import EvalParams, evaluate_files
+    res = evaluate_files(args.base, args.comp, EvalParams(
+        refdist=args.refdist, pctsize=args.pctsize, pctsim=args.pctsim,
+        pctovl=args.pctovl, minsize=args.minsize))
+    print(json.dumps(res.summary()))
+    return 0
+
+
 def cmd_merge_vcf(args) -> int:
     from .io.vcf import merge_vcfs
     n = merge_vcfs(args.vcfs, args.out_vcf)
@@ -408,6 +419,16 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("vc-complex-sv", help="INV/DUP/TRA calling")
     _add_common(p, contig=True)
     p.set_defaults(fn=cmd_vc_complex_sv)
+
+    p = sub.add_parser("eval", help="truvari-equivalent SV benchmark")
+    p.add_argument("--base", required=True, help="truth VCF")
+    p.add_argument("--comp", required=True, help="call VCF")
+    p.add_argument("-r", "--refdist", type=int, default=500)
+    p.add_argument("-P", "--pctsize", type=float, default=0.5)
+    p.add_argument("-p", "--pctsim", type=float, default=0.5)
+    p.add_argument("-O", "--pctovl", type=float, default=0.01)
+    p.add_argument("-S", "--minsize", type=int, default=30)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("merge-vcf", help="merge VCFs (Merge_VCF.py)")
     p.add_argument("vcfs", nargs="+")
