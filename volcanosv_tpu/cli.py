@@ -128,32 +128,53 @@ def cmd_sim(args) -> int:
     return 0
 
 
+def _ckpt(args):
+    from .utils.checkpoint import CheckpointDir
+    return CheckpointDir(args.out_dir, resume=getattr(args, "resume", False))
+
+
 def _run_asm(ref, read_seqs, args):
     """phase → partition → assemble every chromosome.
 
     Returns (contigs, phased SNP VcfRecords — the longshot-VCF-equivalent
-    output, README.md:237-238)."""
+    output, README.md:237-238).  Per-chromosome results checkpoint to
+    <out_dir>/checkpoints/ and are reused under --resume (the reference's
+    log.txt skip-list contract, General_Assembly_Workflow.py:530-547)."""
     from .ops.pack import encode_seq
     from .phasing import snp_vcf_records
     from .pipeline.asm import assemble_chromosome
     cfg = PipelineConfig.for_dtype(args.dtype)
+    ckpt = _ckpt(args)
     bed = {}
     if getattr(args, "hybrid_bed", None):
         from .io.bed import read_bed
         bed = read_bed(args.hybrid_bed)
-    by_chrom, _ = _align_by_chrom(ref, read_seqs, _read_preset(args.dtype))
+    chroms = [args.chrom] if getattr(args, "chrom", None) else list(ref)
+    todo = [c for c in chroms
+            if not (ckpt.has(f"asm_{c}.fa") and ckpt.has(f"snps_{c}.vcf"))]
+    by_chrom = {}
+    if todo:
+        by_chrom, _ = _align_by_chrom(
+            ref, read_seqs, _read_preset(args.dtype))
     contigs: dict[str, str] = {}
     snp_records = []
-    chroms = [args.chrom] if getattr(args, "chrom", None) else list(ref)
     for chrom in chroms:
-        recs = by_chrom.get(chrom, [])
-        if not recs:
-            continue
-        with stage_timer(f"asm[{chrom}]", log):
-            ctgs, ph, _part = assemble_chromosome(
-                recs, encode_seq(ref[chrom]), read_seqs, cfg,
-                hybrid_bed=bed.get(chrom))
-        snp_records += snp_vcf_records(chrom, ph)
+        if chrom not in todo:
+            log.info("resume: reusing checkpointed assembly for %s", chrom)
+            ctgs = ckpt.load_fasta(f"asm_{chrom}.fa")
+            snp_records += ckpt.load_vcf(f"snps_{chrom}.vcf")
+        else:
+            recs = by_chrom.get(chrom, [])
+            if not recs:
+                continue
+            with stage_timer(f"asm[{chrom}]", log):
+                ctgs, ph, _part = assemble_chromosome(
+                    recs, encode_seq(ref[chrom]), read_seqs, cfg,
+                    hybrid_bed=bed.get(chrom))
+            snps = snp_vcf_records(chrom, ph)
+            ckpt.save_fasta(f"asm_{chrom}.fa", ctgs)
+            ckpt.save_vcf(f"snps_{chrom}.vcf", snps)
+            snp_records += snps
         for name, seq in ctgs.items():
             while name in contigs:            # cross-chrom PS id collision
                 name += "b"
@@ -226,6 +247,25 @@ def cmd_qc(args) -> int:
     return 0
 
 
+def _reads_sigs_cached(args, ref, cfg, reads_by_chrom):
+    """Per-chrom reads signatures with checkpoint reuse (the -rdsig dir
+    contract, volcanosv-vc-large-indel.py:18-19)."""
+    if reads_by_chrom is None:
+        return None
+    from .vc.reads_sig import extract_reads_signatures
+    ckpt = _ckpt(args)
+    sigs = {}
+    for chrom in ref:
+        name = f"reads_sig_{chrom}.tsv"
+        if ckpt.has(name):
+            sigs[chrom] = ckpt.load_sigs(name)
+        else:
+            sigs[chrom] = extract_reads_signatures(
+                reads_by_chrom.get(chrom, []), chrom, cfg.fp_filter)
+            ckpt.save_sigs(name, sigs[chrom])
+    return sigs
+
+
 def cmd_vc_large_indel(args) -> int:
     from .io.fasta import read_fasta
     from .vc.large_indel import call_chromosome
@@ -234,12 +274,14 @@ def cmd_vc_large_indel(args) -> int:
     cfg = PipelineConfig.for_dtype(args.dtype)
     by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
     reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
+    reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom)
     records = []
     for chrom in ref:
         with stage_timer(f"large-indel[{chrom}]", log):
             records += call_chromosome(
                 chrom, by_chrom.get(chrom, []), ref[chrom], contigs, cfg,
-                reads_records=(reads_by_chrom or {}).get(chrom))
+                reads_records=(reads_by_chrom or {}).get(chrom),
+                reads_sigs=(reads_sigs or {}).get(chrom))
     _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, records)
     return 0
 
@@ -326,11 +368,13 @@ def cmd_run(args) -> int:
     reads_by_chrom, _ = _align_by_chrom(ref, read_seqs,
                                         _read_preset(args.dtype))
     li_by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
+    reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom)
     large, ins_records = [], []
     for chrom in ref:
         recs = call_chromosome(chrom, li_by_chrom.get(chrom, []), ref[chrom],
                                contigs, cfg,
-                               reads_records=reads_by_chrom.get(chrom))
+                               reads_records=reads_by_chrom.get(chrom),
+                               reads_sigs=(reads_sigs or {}).get(chrom))
         large += recs
         ins_records += [r for r in recs if r.svtype == "INS"]
     p_large = _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, large)
@@ -369,6 +413,9 @@ def _add_common(p, contig=False, reads=True):
     if reads:
         p.add_argument("--fastq", help="reads FASTQ(.gz)")
         p.add_argument("--bam", help="reads BAM")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse per-stage artifacts from "
+                        "<out_dir>/checkpoints/ (skip-list resume)")
 
 
 def build_parser() -> argparse.ArgumentParser:
