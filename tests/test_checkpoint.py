@@ -76,3 +76,16 @@ def test_reads_sig_cache_reused(sim_dir, tmp_path):
     assert main(argv + ["--resume"]) == 0       # loads cached signatures
     _h, second = read_vcf(os.path.join(out, "volcanosv_large_indel.vcf"))
     assert [r.to_line() for r in first] == [r.to_line() for r in second]
+
+
+def test_profile_report(sim_dir, tmp_path):
+    out = str(tmp_path / "prof")
+    assert main(["vc-large-indel", "--ref", f"{sim_dir}/ref.fa",
+                 "--contig", f"{sim_dir}/true_contigs.fa", "-o", out,
+                 "--profile"]) == 0
+    import json
+    with open(os.path.join(out, "stage_times.json")) as fh:
+        times = json.load(fh)
+    assert any(k.startswith("large-indel") for k in times)
+    for v in times.values():
+        assert v["total_s"] >= 0 and v["calls"] >= 1

@@ -416,6 +416,12 @@ def _add_common(p, contig=False, reads=True):
     p.add_argument("--resume", action="store_true",
                    help="reuse per-stage artifacts from "
                         "<out_dir>/checkpoints/ (skip-list resume)")
+    p.add_argument("--profile", action="store_true",
+                   help="write <out_dir>/stage_times.json + print the "
+                        "per-stage wall-clock table")
+    p.add_argument("--profile_trace", metavar="DIR",
+                   help="capture a JAX profiler trace (TensorBoard/Perfetto) "
+                        "of the whole command into DIR")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -490,7 +496,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    trace_dir = getattr(args, "profile_trace", None)
+    if trace_dir:
+        import jax
+        with jax.profiler.trace(trace_dir):
+            rc = args.fn(args)
+    else:
+        rc = args.fn(args)
+    if getattr(args, "profile", False) and getattr(args, "out_dir", None):
+        import json
+        from .utils.logging import STAGE_TIMES, stage_report
+        path = os.path.join(args.out_dir, "stage_times.json")
+        os.makedirs(args.out_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump({k: {"total_s": round(v[0], 4), "calls": v[1]}
+                       for k, v in STAGE_TIMES.items()}, fh, indent=1)
+        log.info("profile:\n%s\n→ %s", stage_report(), path)
+    return rc
 
 
 if __name__ == "__main__":
