@@ -46,7 +46,10 @@ def _load_reads(args) -> dict[str, str]:
         for name, seq, _q in read_fastq(args.fastq):
             seqs[name] = seq
     elif getattr(args, "bam", None):
-        from .io.bam import BamReader
+        from .io.bam import BamReader, scan_bam
+        sc = scan_bam(args.bam)            # native parallel-inflate loader
+        if sc is not None:
+            return sc.read_seqs()
         with BamReader(args.bam) as br:
             for rec in br:
                 if rec.seq and not rec.is_secondary and not rec.is_supplementary:

@@ -251,6 +251,119 @@ class BamReader:
         self.close()
 
 
+# ---------------------------------------------------------------------------
+# native columnar scanner (parallel BGZF inflate, bamscan.cpp)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BamScan:
+    """Columnar BAM scan from the native loader — numpy views per field.
+
+    Tags and qual are not decoded (use BamReader when you need them)."""
+    references: list[str]
+    lengths: list[int]
+    header_text: str
+    flag: np.ndarray         # (n,) int32
+    ref_id: np.ndarray       # (n,) int32
+    pos: np.ndarray          # (n,) int64
+    mapq: np.ndarray         # (n,) int32
+    next_ref_id: np.ndarray
+    next_pos: np.ndarray
+    name_off: np.ndarray     # (n+1,) int64
+    names: bytes
+    cig_off: np.ndarray      # (n+1,) int64 (uint32-word offsets)
+    cigs: np.ndarray         # uint32 raw BAM cigar words
+    seq_off: np.ndarray      # (n+1,) int64
+    seqs: bytes              # ASCII
+
+    def __len__(self) -> int:
+        return len(self.flag)
+
+    def name(self, i: int) -> str:
+        return self.names[self.name_off[i]:self.name_off[i + 1]].decode()
+
+    def seq(self, i: int) -> str:
+        return self.seqs[self.seq_off[i]:self.seq_off[i + 1]].decode()
+
+    def cigar(self, i: int) -> np.ndarray:
+        w = self.cigs[self.cig_off[i]:self.cig_off[i + 1]]
+        return np.stack([(w & 0xF).astype(np.int64),
+                         (w >> 4).astype(np.int64)], axis=1) \
+            if len(w) else np.zeros((0, 2), np.int64)
+
+    def records(self):
+        """Materialize BamRecord objects (no tags/qual)."""
+        for i in range(len(self)):
+            yield BamRecord(
+                self.name(i), int(self.flag[i]), int(self.ref_id[i]),
+                int(self.pos[i]), int(self.mapq[i]), self.cigar(i),
+                self.seq(i), None, {}, int(self.next_ref_id[i]),
+                int(self.next_pos[i]), 0)
+
+    def read_seqs(self) -> dict[str, str]:
+        """name → seq over primary mapped-or-unmapped reads (the
+        _load_reads contract: skip secondary/supplementary, need seq)."""
+        skip = FSECONDARY | FSUPPLEMENTARY
+        out: dict[str, str] = {}
+        for i in np.nonzero((self.flag & skip) == 0)[0]:
+            if self.seq_off[i + 1] > self.seq_off[i]:
+                out[self.name(int(i))] = self.seq(int(i))
+        return out
+
+
+def scan_bam(path: str, n_threads: int = 0) -> BamScan | None:
+    """Native columnar scan; returns None when the native lib is missing
+    (callers fall back to BamReader)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bam_scan"):
+        return None
+    import ctypes
+    res = lib.bam_scan(path.encode(), n_threads)
+    if not res:
+        return None
+    try:
+        c = res.contents
+        if c.error:
+            raise ValueError(f"{path}: {c.error.decode()}")
+        n = int(c.n_records)
+
+        def arr(p, cnt, dtype):
+            if cnt == 0:
+                return np.zeros(0, dtype)
+            return np.ctypeslib.as_array(p, shape=(cnt,)).astype(dtype,
+                                                                 copy=True)
+
+        name_off = arr(c.name_off, n + 1, np.int64)
+        cig_off = arr(c.cig_off, n + 1, np.int64)
+        seq_off = arr(c.seq_off, n + 1, np.int64)
+        rno = arr(c.ref_name_off, c.n_refs + 1, np.int64)
+        rnames_blob = ctypes.string_at(c.ref_names, int(rno[-1])) \
+            if c.n_refs else b""
+        refs = [rnames_blob[rno[i]:rno[i + 1]].decode()
+                for i in range(c.n_refs)]
+        return BamScan(
+            references=refs,
+            lengths=list(arr(c.ref_len, c.n_refs, np.int64)),
+            header_text=ctypes.string_at(c.header_text,
+                                         int(c.header_len)).decode(
+                                             errors="replace"),
+            flag=arr(c.flag, n, np.int32),
+            ref_id=arr(c.ref_id, n, np.int32),
+            pos=arr(c.pos, n, np.int64),
+            mapq=arr(c.mapq, n, np.int32),
+            next_ref_id=arr(c.next_ref_id, n, np.int32),
+            next_pos=arr(c.next_pos, n, np.int64),
+            name_off=name_off,
+            names=ctypes.string_at(c.names, int(name_off[-1])) if n else b"",
+            cig_off=cig_off,
+            cigs=arr(c.cigs, int(cig_off[-1]), np.uint32),
+            seq_off=seq_off,
+            seqs=ctypes.string_at(c.seqs, int(seq_off[-1])) if n else b"")
+    finally:
+        lib.bam_scan_free(res)
+
+
 def _reg2bin(beg: int, end: int) -> int:
     end -= 1
     if beg >> 14 == end >> 14:

@@ -13,7 +13,7 @@ import os
 import subprocess
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp"]
+_SOURCES = ["chain.cpp", "bamscan.cpp"]
 
 
 def _lib_path() -> str:
@@ -29,7 +29,7 @@ def build_native(force: bool = False) -> str | None:
         return out
     srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           *srcs, "-o", out]
+           *srcs, "-o", out, "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return out
@@ -69,3 +69,34 @@ def _configure(lib) -> None:
         f32p, i32p, ctypes.c_int64, ctypes.c_float, ctypes.c_int32,
         i8p, i32p, f32p, ctypes.c_int64]
     lib.chain_backtrack.restype = ctypes.c_int64
+
+    lib.bam_scan.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.bam_scan.restype = ctypes.POINTER(BamScanStruct)
+    lib.bam_scan_free.argtypes = [ctypes.POINTER(BamScanStruct)]
+    lib.bam_scan_free.restype = None
+
+
+class BamScanStruct(ctypes.Structure):
+    """Mirror of BamScanResult in bamscan.cpp (field order must match)."""
+    _fields_ = [
+        ("n_records", ctypes.c_int64),
+        ("flag", ctypes.POINTER(ctypes.c_int32)),
+        ("ref_id", ctypes.POINTER(ctypes.c_int32)),
+        ("pos", ctypes.POINTER(ctypes.c_int64)),
+        ("mapq", ctypes.POINTER(ctypes.c_int32)),
+        ("next_ref_id", ctypes.POINTER(ctypes.c_int32)),
+        ("next_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("name_off", ctypes.POINTER(ctypes.c_int64)),
+        ("names", ctypes.POINTER(ctypes.c_char)),
+        ("cig_off", ctypes.POINTER(ctypes.c_int64)),
+        ("cigs", ctypes.POINTER(ctypes.c_uint32)),
+        ("seq_off", ctypes.POINTER(ctypes.c_int64)),
+        ("seqs", ctypes.POINTER(ctypes.c_char)),
+        ("n_refs", ctypes.c_int32),
+        ("ref_name_off", ctypes.POINTER(ctypes.c_int64)),
+        ("ref_names", ctypes.POINTER(ctypes.c_char)),
+        ("ref_len", ctypes.POINTER(ctypes.c_int64)),
+        ("header_text", ctypes.POINTER(ctypes.c_char)),
+        ("header_len", ctypes.c_int64),
+        ("error", ctypes.c_char_p),
+    ]
