@@ -76,3 +76,19 @@ def test_wgs_truvari_equiv_eval(wgs_run):
     assert res.recall >= 0.8, res.summary()
     assert res.precision >= 0.7, res.summary()
     assert res.gt_concordance >= 0.7, res.summary()
+
+
+def test_wgs_phased_bam(wgs_run):
+    """asm writes phased.bam with HP/PS tags (longshot -O phased.bam parity,
+    volcanosv-asm.py:75-80 / prepare_info_v1.py:42-63)."""
+    _sim, out = wgs_run
+    from volcanosv_tpu.io.bam import BamReader
+    n_tagged = 0
+    with BamReader(os.path.join(out, "phased.bam")) as br:
+        assert set(br.references) == {"chr1", "chr2"}
+        for rec in br:
+            if "HP" in rec.tags:
+                assert rec.tags["HP"] in (1, 2)
+                assert isinstance(rec.tags["PS"], int)
+                n_tagged += 1
+    assert n_tagged > 0

@@ -155,10 +155,16 @@ def _run_asm(ref, read_seqs, args):
     chroms = [args.chrom] if getattr(args, "chrom", None) else list(ref)
     todo = [c for c in chroms
             if not (ckpt.has(f"asm_{c}.fa") and ckpt.has(f"snps_{c}.vcf"))]
-    by_chrom = {}
+    by_chrom, phased_writer = {}, None
     if todo:
-        by_chrom, _ = _align_by_chrom(
+        by_chrom, aligner = _align_by_chrom(
             ref, read_seqs, _read_preset(args.dtype))
+        # phased BAM with HP/PS tags — longshot's '-O phased.bam' artifact
+        # (volcanosv-asm.py:75-80; tag semantics prepare_info_v1.py:42-63)
+        from .io.bam import BamWriter
+        os.makedirs(args.out_dir, exist_ok=True)
+        phased_writer = BamWriter(os.path.join(args.out_dir, "phased.bam"),
+                                  aligner.names, aligner.lengths)
     contigs: dict[str, str] = {}
     snp_records = []
     for chrom in chroms:
@@ -178,10 +184,23 @@ def _run_asm(ref, read_seqs, args):
             ckpt.save_fasta(f"asm_{chrom}.fa", ctgs)
             ckpt.save_vcf(f"snps_{chrom}.vcf", snps)
             snp_records += snps
+            if phased_writer is not None:
+                hp_of = {n: (int(ph.read_hap[i]), int(ph.read_block[i]))
+                         for i, n in enumerate(ph.read_names)
+                         if ph.read_hap[i] != 0}
+                for r in recs:
+                    hp = hp_of.get(r.name)
+                    if hp is not None:
+                        r.tags = dict(r.tags or {})
+                        r.tags["HP"] = hp[0]
+                        r.tags["PS"] = hp[1]
+                    phased_writer.write(r)
         for name, seq in ctgs.items():
             while name in contigs:            # cross-chrom PS id collision
                 name += "b"
             contigs[name] = seq
+    if phased_writer is not None:
+        phased_writer.close()
     return contigs, snp_records
 
 
