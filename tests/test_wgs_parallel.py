@@ -56,3 +56,20 @@ def test_global_median_empty():
     med = float(step(_shard_put(mesh, np.zeros(n_sh * S, np.float32)),
                      _shard_put(mesh, np.zeros(n_sh * S, bool))))
     assert med == 0.0
+
+
+def test_init_multihost_noop_single_process():
+    from volcanosv_tpu.parallel import init_multihost
+    assert init_multihost() is False     # no coordinator → local mode
+
+
+def test_host_chromosome_shard_partition():
+    from volcanosv_tpu.parallel import host_chromosome_shard
+    chroms = [f"chr{i}" for i in range(1, 23)]
+    shards = [host_chromosome_shard(chroms, p, 4) for p in range(4)]
+    # disjoint cover
+    flat = [c for s in shards for c in s]
+    assert sorted(flat) == sorted(chroms)
+    assert all(len(s) in (5, 6) for s in shards)
+    # current (single) process owns everything
+    assert host_chromosome_shard(chroms) == chroms

@@ -68,3 +68,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def pad_batch_to(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> bool:
+    """Multi-host entry point: `jax.distributed.initialize` wrapper.
+
+    Replaces the reference's cluster story of 22 independent SLURM jobs
+    sharing a filesystem (README.md:244-255) — here every host joins one
+    JAX process group, the global mesh spans all chips (ICI within a slice,
+    DCN across), and per-shard results merge with collectives (parallel/
+    wgs.py) instead of file concat.
+
+    Returns True when a process group was initialized, False when running
+    single-process (local dev / tests) or when one already exists."""
+    import os
+    explicit = coordinator_address or (num_processes or 0) > 1
+    env = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    if not explicit and not env:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        return True
+    except RuntimeError:
+        return False        # already initialized
+
+
+def host_chromosome_shard(chroms: list[str],
+                          process_id: int | None = None,
+                          n_processes: int | None = None) -> list[str]:
+    """The chromosomes this host owns — round-robin over hosts, the
+    multi-host analogue of 'submit one job per chromosome'
+    (README.md:244-255).  Deterministic: every host computes the same
+    partition."""
+    if process_id is None:
+        process_id = jax.process_index()
+    if n_processes is None:
+        n_processes = jax.process_count()
+    return [c for i, c in enumerate(chroms) if i % n_processes == process_id]
