@@ -211,16 +211,36 @@ def _tpu_backend() -> bool:
         return False
 
 
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _fetch_layout(x, rows: int):
+    """Slice the traceback to the rows actually used and force the default
+    linear layout before device→host transfer: the Pallas output's tiled
+    layout fetches ~250x slower than a dense array over the axon tunnel."""
+    x = x[:rows]
+    return x.reshape(-1).reshape(x.shape)
+
+
+def _row_bucket(n: int, m_cap: int) -> int:
+    """Round row counts up to a small static set so _fetch_layout compiles
+    a bounded number of shapes."""
+    r = 128
+    while r < n:
+        r *= 2
+    return min(r, m_cap)
+
+
 def banded_align_auto(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
                       scores: Scores = Scores()):
     """Traceback-path dispatch: Pallas kernel on TPU, lax.scan elsewhere.
 
-    Returns (score (B,), tb_get: b -> (M, W) uint8 view, end_j (B,))."""
+    Returns (score (B,), tb_get: b -> (M', W) uint8 view, end_j (B,)) where
+    M' ≥ max(qlen) (rows beyond each alignment's qlen are unused)."""
     if _tpu_backend() and q.shape[1] % 8 == 0:
         from .pallas import banded_align_pallas
         s, tb, ej = banded_align_pallas(q, t, qlen, tlen, W=W, d_lo=d_lo,
                                         scores=scores)
-        tb_np = np.asarray(tb)
+        rows = _row_bucket(int(np.max(qlen)), tb.shape[0])
+        tb_np = np.asarray(_fetch_layout(tb, rows))
         return s, (lambda b: tb_np[:, :, b]), ej
     s, tb, ej = banded_align_scan(q, t, qlen, tlen, W=W, d_lo=d_lo,
                                   scores=scores)
@@ -237,7 +257,7 @@ def banded_row0_auto(q, t, qlen, tlen, W: int = 128, d_lo: int = -64,
         _, _, _, row0 = banded_align_pallas(
             q, t, qlen, tlen, W=W, d_lo=d_lo, scores=scores,
             with_traceback=False, row0_scores=True)
-        return np.asarray(row0)
+        return np.asarray(_fetch_layout(row0, row0.shape[0]))
     _, _, _, row0 = banded_align_scan(
         q, t, qlen, tlen, W=W, d_lo=d_lo, scores=scores,
         with_traceback=False, row0_scores=True)
@@ -337,10 +357,14 @@ def full_affine_score_np(q: np.ndarray, t: np.ndarray, s: Scores = Scores()) -> 
     return int(H[n])
 
 
-def pad_batch_pow2(q, t, qlen, tlen, min_b: int = 8):
+def pad_batch_pow2(q, t, qlen, tlen, min_b: int = 64):
     """Pad the batch dim to a power of two so each (B, M, N, W) shape family
     compiles once.  Padding rows get qlen=tlen=1 (trivially in-band).
-    Returns (q, t, qlen, tlen, original_B)."""
+    Returns (q, t, qlen, tlen, original_B).
+
+    min_b=64: compiles on the axon backend cost seconds each and bypass the
+    persistent cache, so small-batch shape variants (8/16/32) are folded
+    into one 64-row compile — the padded rows cost microseconds of VPU."""
     B = q.shape[0]
     Bp = max(min_b, 1 << max(0, (B - 1).bit_length()))
     if Bp == B:

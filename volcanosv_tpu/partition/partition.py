@@ -50,30 +50,62 @@ class PartitionResult:
     n_double: int = 0
 
 
+def _pow2ceil(n: int, lo: int = 512) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
 def _read_hashes(seqs: list[str], k: int):
+    """Fixed (B=_CHUNK, L=pow2-bucket) shapes so the jitted kmer kernels
+    compile once per bucket instead of once per chunk."""
+    n_real = len(seqs)
+    seqs = list(seqs) + [""] * (_CHUNK - n_real)      # pad batch dim
     codes = [encode_seq(s) for s in seqs]
-    padded, lens = pad_codes(codes)
+    L = _pow2ceil(max((len(c) for c in codes), default=1))
+    padded, lens = pad_codes(codes, pad_to=L)
     h, v = kmer_hashes(jnp.asarray(padded), k)
-    # clip validity to actual lengths
-    n = h.shape[1]
-    idx = np.arange(n)[None, :]
-    v = np.asarray(v) & (idx < (lens[:, None] - k + 1))
-    return np.asarray(h), v
+    # clip validity to actual lengths (device-side; lens is host int array)
+    idx = jnp.arange(h.shape[1])[None, :]
+    v = v & (idx < (jnp.asarray(lens)[:, None] - k + 1))
+    return h, v, n_real
+
+
+_FLAT = 1 << 21      # codes per device launch for table building
 
 
 def build_hap_tables(hap_read_seqs: dict[str, list[str]], k: int,
-                     ) -> dict[str, np.ndarray]:
-    """Dense 4^k count table per haplotype from its phased reads."""
+                     ) -> dict[str, jnp.ndarray]:
+    """Dense 4^k count table per haplotype from its phased reads.
+
+    Reads are concatenated into one code stream with single-N separators
+    (windows spanning a boundary contain the N and are masked invalid), then
+    hashed/counted in fixed (1, _FLAT) chunks — exactly one compiled shape
+    per kernel for the whole stage, since the axon backend recompiles per
+    shape and cannot reuse a persistent cache.  Tables stay device-resident
+    (67MB each at k=12); accumulation is a device add per chunk."""
+    from ..ops.pack import CODE_N
+    sep = np.full(1, CODE_N, np.int8)
     out = {}
+    step = _FLAT - (k - 1)       # chunk overlap of k-1 → each window once
     for hap, seqs in hap_read_seqs.items():
-        if not seqs:
-            out[hap] = np.zeros(4**k, np.int32)
-            continue
-        table = np.zeros(4**k, np.int32)
-        for i in range(0, len(seqs), _CHUNK):
-            h, v = _read_hashes(seqs[i:i + _CHUNK], k)
-            table += np.asarray(count_kmers_dense(
-                jnp.asarray(h), jnp.asarray(v), k))
+        table = jnp.zeros(4**k, jnp.int32)
+        if seqs:
+            parts = []
+            for s in seqs:
+                parts.append(encode_seq(s))
+                parts.append(sep)
+            flat = np.concatenate(parts)
+            for i in range(0, len(flat), step):
+                chunk = flat[i:i + _FLAT]
+                if len(chunk) < k:
+                    break
+                if len(chunk) < _FLAT:
+                    chunk = np.concatenate(
+                        [chunk, np.full(_FLAT - len(chunk), CODE_N, np.int8)])
+                h, v = kmer_hashes(jnp.asarray(chunk[None, :]), k)
+                table = table + count_kmers_dense(h, v, k)
         out[hap] = table
     return out
 
@@ -121,7 +153,7 @@ def partition_reads(
         return PartitionResult(assignment, blocks)
 
     tables = build_hap_tables(hap_read_seqs, cfg.k)
-    zero = np.zeros(4**cfg.k, np.int32)
+    zero = jnp.zeros(4**cfg.k, jnp.int32)
 
     # group unphased reads by candidate block pair
     groups: dict[tuple[int, int], list[str]] = {}
@@ -140,18 +172,16 @@ def partition_reads(
     all_haps: list[list[str]] = []
     for (b1, b2), rnames in groups.items():
         haps = [hname(b1, 1), hname(b1, 2), hname(b2, 1), hname(b2, 2)]
-        t4 = np.stack([tables.get(h, zero) for h in haps])
-        present = t4 > 0
-        unique = present & (present.sum(0, keepdims=True) == 1)
-        t4_d = jnp.asarray(t4)
-        u_d = jnp.asarray(unique)
+        t4_d = jnp.stack([tables.get(h, zero) for h in haps])
+        present = t4_d > 0
+        u_d = present & (present.sum(0, keepdims=True) == 1)
         for i in range(0, len(rnames), _CHUNK):
             chunk = rnames[i:i + _CHUNK]
             seqs = [unphased[r][0] for r in chunk]
-            h, v = _read_hashes(seqs, cfg.k)
-            s, first, runlen = distinct_runs(jnp.asarray(h), jnp.asarray(v))
+            h, v, n_real = _read_hashes(seqs, cfg.k)
+            s, first, runlen = distinct_runs(h, v)
             sc = np.asarray(overlap_scores(s, first, runlen, t4_d, u_d))
-            all_scores.append(sc)
+            all_scores.append(sc[:n_real])
             all_names.extend(chunk)
             all_haps.extend([haps] * len(chunk))
 
