@@ -89,3 +89,19 @@ def test_profile_report(sim_dir, tmp_path):
     assert any(k.startswith("large-indel") for k in times)
     for v in times.values():
         assert v["total_s"] >= 0 and v["calls"] >= 1
+
+
+def test_emit_fastqs(sim_dir, tmp_path):
+    """--emit_fastqs writes per-hap FASTQs (write_fastq_asm_general parity)."""
+    out = str(tmp_path / "fq")
+    assert main(["asm", "--ref", f"{sim_dir}/ref.fa",
+                 "--fastq", f"{sim_dir}/reads.fastq", "-o", out,
+                 "--emit_fastqs"]) == 0
+    import glob
+    fqs = glob.glob(os.path.join(out, "fastq_by_hap", "*.fastq"))
+    assert fqs, "no per-hap FASTQs written"
+    from volcanosv_tpu.io.fastq import read_fastq
+    names = {os.path.basename(f) for f in fqs}
+    assert any("hp1" in n for n in names) and any("hp2" in n for n in names)
+    total = sum(1 for f in fqs for _ in read_fastq(f))
+    assert total > 0

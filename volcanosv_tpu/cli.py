@@ -177,9 +177,24 @@ def _run_asm(ref, read_seqs, args):
             if not recs:
                 continue
             with stage_timer(f"asm[{chrom}]", log):
-                ctgs, ph, _part = assemble_chromosome(
+                ctgs, ph, part = assemble_chromosome(
                     recs, encode_seq(ref[chrom]), read_seqs, cfg,
                     hybrid_bed=bed.get(chrom))
+            if getattr(args, "emit_fastqs", False):
+                # per-hap FASTQs (write_fastq_asm_general.py:97-142 parity;
+                # double-assigned reads are duplicated into both haps)
+                from .io.fastq import write_fastq
+                fq_dir = os.path.join(args.out_dir, "fastq_by_hap")
+                os.makedirs(fq_dir, exist_ok=True)
+                by_hap: dict[str, list] = {}
+                for rname, haps in part.assignment.items():
+                    seq = read_seqs.get(rname)
+                    if seq:
+                        for h in haps:
+                            by_hap.setdefault(h, []).append(
+                                (rname, seq, None))
+                for h, entries in by_hap.items():
+                    write_fastq(os.path.join(fq_dir, f"{h}.fastq"), entries)
             snps = snp_vcf_records(chrom, ph)
             ckpt.save_fasta(f"asm_{chrom}.fa", ctgs)
             ckpt.save_vcf(f"snps_{chrom}.vcf", snps)
@@ -477,6 +492,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hybrid_bed",
                    help="BED of regions assembled with the in-BED profile "
                         "(hybrid mode, volcanosv-asm_hybrid.py parity)")
+    p.add_argument("--emit_fastqs", action="store_true",
+                   help="also write fastq_by_hap/<hap>.fastq per haplotype "
+                        "(write_fastq_asm_general.py parity)")
     p.set_defaults(fn=cmd_asm)
 
     p = sub.add_parser("qc", help="coverage-HMM assembly QC (Flagger equiv)")
