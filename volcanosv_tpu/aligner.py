@@ -103,14 +103,21 @@ def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
     aq, at = chain.anchors_q, chain.anchors_t
     order = np.lexsort((at, aq))
     aq, at = aq[order], at[order]
-    # drop anchors that go backwards in either coordinate (not colinear)
-    keep_q, keep_t = [int(aq[0])], [int(at[0])]
-    for x, y in zip(aq[1:], at[1:]):
-        dx, dy = int(x) - keep_q[-1], int(y) - keep_t[-1]
-        if dx > 0 and dy > 0 or (dx == dy == 0):
-            if dx > 0:
-                keep_q.append(int(x)); keep_t.append(int(y))
-    aq, at = np.array(keep_q), np.array(keep_t)
+    # drop anchors that go backwards in either coordinate (not colinear);
+    # chains are almost always already strictly increasing — only run the
+    # sequential filter when a violation exists
+    dq_all = np.diff(aq)
+    dt_all = np.diff(at)
+    if len(aq) > 1 and not ((dq_all > 0) & (dt_all > 0)).all():
+        keep_q, keep_t = [int(aq[0])], [int(at[0])]
+        for x, y in zip(aq[1:], at[1:]):
+            dx, dy = int(x) - keep_q[-1], int(y) - keep_t[-1]
+            if dx > 0 and dy > 0 or (dx == dy == 0):
+                if dx > 0:
+                    keep_q.append(int(x)); keep_t.append(int(y))
+        aq, at = np.array(keep_q), np.array(keep_t)
+        dq_all = np.diff(aq)
+        dt_all = np.diff(at)
 
     skeleton: list = []
 
@@ -118,12 +125,18 @@ def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
         if ln > 0:
             skeleton.append(("cig", (op, ln)))
 
-    qcur, tcur = int(aq[0]), int(at[0])
-    for qa, ta in zip(aq[1:], at[1:]):
-        dq, dt = int(qa) - qcur, int(ta) - tcur
-        if dq == dt:
-            emit(M, dq)
-        elif dq == 0:
+    # anchor pairs on the same diagonal (dq==dt) are pure M runs: collapse
+    # maximal runs in one emit and python-walk only the irregular gaps
+    # (indels/noise) — O(#gaps) instead of O(#anchors) per chain
+    irregular = np.nonzero(dq_all != dt_all)[0]
+    prev = 0
+    for g in irregular:
+        g = int(g)
+        emit(M, int(aq[g] - aq[prev]))          # equal-diagonal run
+        qcur, tcur = int(aq[g]), int(at[g])
+        qa, ta = int(aq[g + 1]), int(at[g + 1])
+        dq, dt = qa - qcur, ta - tcur
+        if dq == 0:
             emit(D, dt)
         elif dt == 0:
             emit(I, dq)
@@ -146,7 +159,8 @@ def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
                             indel_op, indel_len)
                 windows.append(w)
                 skeleton.append(("win", w))
-        qcur, tcur = int(qa), int(ta)
+        prev = g + 1
+    emit(M, int(aq[-1] - aq[prev]))             # trailing run
     emit(M, k)  # the final anchor's k-mer
     return skeleton, int(aq[0]), int(at[0])
 
@@ -287,16 +301,14 @@ class Aligner:
         chain filling e.g. an inversion interior is not shadowed)."""
         k = self.cfg.k
         a = np.sort(ch.anchors_q)
-        iv: list[list[int]] = [[int(a[0]), int(a[0]) + k]]
-        for x in a[1:]:
-            x = int(x)
-            if x <= iv[-1][1] + hole:
-                iv[-1][1] = max(iv[-1][1], x + k)
-            else:
-                iv.append([x, x + k])
+        ends = a + k                      # sorted ⇒ ends sorted too
+        brk = np.nonzero(a[1:] > ends[:-1] + hole)[0] + 1
+        starts = np.concatenate([[0], brk])
+        stops = np.concatenate([brk, [len(a)]])
+        iv = [(int(a[s]), int(ends[e - 1])) for s, e in zip(starts, stops)]
         if ch.strand == -1:
-            iv = [[qlen - e, qlen - s] for s, e in iv]
-        return [(s, e) for s, e in iv]
+            iv = [(qlen - e, qlen - s) for s, e in iv]
+        return iv
 
     def _select(self, chains: list[Chain], qlen: int) -> list[Chain]:
         """Primary + non-redundant supplementary selection by query overlap

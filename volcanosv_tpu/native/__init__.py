@@ -13,7 +13,7 @@ import os
 import subprocess
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "bamscan.cpp"]
+_SOURCES = ["chain.cpp", "bamscan.cpp", "sketch.cpp"]
 
 
 def _lib_path() -> str:
@@ -69,6 +69,12 @@ def _configure(lib) -> None:
         f32p, i32p, ctypes.c_int64, ctypes.c_float, ctypes.c_int32,
         i8p, i32p, f32p, ctypes.c_int64]
     lib.chain_backtrack.restype = ctypes.c_int64
+
+    u32p = npc.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.sketch_dna.argtypes = [
+        i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        i64p, u32p, i8p]
+    lib.sketch_dna.restype = ctypes.c_int64
 
     lib.bam_scan.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.bam_scan.restype = ctypes.POINTER(BamScanStruct)

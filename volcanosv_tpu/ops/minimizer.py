@@ -49,10 +49,25 @@ def _rolling_hashes_np(codes: np.ndarray, k: int):
 
 def sketch_np(codes: np.ndarray, k: int, w: int):
     """Minimizers of one sequence (host path, used for the reference index
-    and contigs).
+    and contigs).  Dispatches to the O(L) native monotonic-deque kernel
+    (native/sketch.cpp) when available; this numpy path is the oracle.
 
     Returns (pos (M,) int64, hash (M,) uint32, strand (M,) int8) where
     strand=0 if the canonical k-mer is the forward strand."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "sketch_dna") and k <= 31:
+        n = max(len(codes) - k + 1, 0)
+        if n < w:
+            return (np.zeros(0, np.int64), np.zeros(0, np.uint32),
+                    np.zeros(0, np.int8))
+        pos = np.empty(n, np.int64)
+        h = np.empty(n, np.uint32)
+        strand = np.empty(n, np.int8)
+        m = lib.sketch_dna(np.ascontiguousarray(codes, np.int8), len(codes),
+                           k, w, pos, h, strand)
+        if m >= 0:
+            return pos[:m].copy(), h[:m].copy(), strand[:m].copy()
     fwd, rc, valid = _rolling_hashes_np(codes, k)
     n = len(fwd)
     if n < w:
