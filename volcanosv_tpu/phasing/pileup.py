@@ -85,7 +85,9 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         mm_pos.append(ref_idx[mism])
         mm_base.append(rb[mism])
     coverage = np.cumsum(cov[:-1])
-    if not mm_pos:
+    if not mm_pos or not sum(len(m) for m in mm_pos):
+        # no mismatch observations at all (e.g. reads matching a polished
+        # draft exactly) — empty candidate set
         z8, z32, z64 = np.zeros(0, np.int8), np.zeros(0, np.int32), np.zeros(0, np.int64)
         return PileupResult(z64, z8, z8, z32, z32, z32,
                             np.zeros(0, bool), z32, z32, z8, names)
