@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .config import AlignConfig
-from .ops.banded_align import (Scores, banded_align_auto,
+from .ops.banded_align import (Scores, banded_align_auto, banded_align_cigars,
                                banded_row0_auto, pad_batch_pow2,
                                traceback_cigar)
 from .ops.chain import Chain, chain_anchors
@@ -181,12 +181,10 @@ def _run_refine(ws: list[_Window]):
         q_pad, qlen = pad_codes([w.q_codes for w in grp], pad_to=mb)
         t_pad, tlen = pad_codes([w.t_codes for w in grp], pad_to=nb)
         q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad, qlen, tlen)
-        score, tb_get, _ = banded_align_auto(
+        cigs = banded_align_cigars(
             q_pad, t_pad, qlen, tlen, W=_REFINE_W, d_lo=_REFINE_DLO)
         for i, w in enumerate(grp):
-            cig = traceback_cigar(tb_get(i), int(qlen[i]), int(tlen[i]),
-                                  d_lo=_REFINE_DLO)
-            w.result = cig
+            w.result = cigs[i]
 
 
 def _run_split(ws: list[_Window]):

@@ -229,6 +229,98 @@ def _row_bucket(n: int, m_cap: int) -> int:
     return min(r, m_cap)
 
 
+@functools.partial(jax.jit, static_argnames=("d_lo", "n_steps"))
+def _walk_device(tb, qlen, tlen, d_lo: int, n_steps: int):
+    """Batched traceback walk ON DEVICE over the Pallas-layout (M, W, B)
+    traceback.  Emits (n_steps, B) uint8 op codes in reverse walk order
+    (0=M, 1=I, 2=D, 3=none) — transferring the op stream costs
+    (steps × B) bytes instead of the full (M × W × B) tensor, which the
+    axon tunnel fetches at ~25 MB/s.  Exactly mirrors traceback_cigar."""
+    M, W, B = tb.shape
+    flat = tb.reshape(M * W, B)
+    i = qlen.astype(jnp.int32) - 1
+    j = tlen.astype(jnp.int32) - 1
+    state = jnp.zeros(B, jnp.int32)
+    done = (i < 0) & (j < 0)
+
+    def step(carry, _):
+        i, j, state, done = carry
+        l = j - i - d_lo
+        in_band = (l >= 0) & (l < W) & (i >= 0) & (j >= 0)
+        idx = jnp.clip(i, 0, M - 1) * W + jnp.clip(l, 0, W - 1)
+        cell = jnp.take_along_axis(flat, idx[None, :].astype(jnp.int32),
+                                   axis=0)[0].astype(jnp.int32)
+        cell = jnp.where(in_band, cell, TB_DIAG)
+        i_neg, j_neg = i < 0, j < 0
+        choice = cell & 3
+        s0 = state == 0
+        s0_diag = s0 & (choice == TB_DIAG)
+        s0_up = s0 & (choice == TB_UP)
+        s0_left = s0 & (choice == TB_LEFT)
+        s1, s2 = state == 1, state == 2
+        op = jnp.where(done, 3,
+             jnp.where(i_neg, 2,
+             jnp.where(j_neg, 1,
+             jnp.where(s0_diag, 0,
+             jnp.where(s1, 1,
+             jnp.where(s2, 2, 3))))))
+        di = jnp.where(done | i_neg, 0,
+             jnp.where(j_neg, 1,
+             jnp.where(s0_diag | s1, 1, 0)))
+        dj = jnp.where(done, 0,
+             jnp.where(i_neg, 1,
+             jnp.where(j_neg, 0,
+             jnp.where(s0_diag | s2, 1, 0))))
+        new_state = jnp.where(done | i_neg | j_neg, state,
+                    jnp.where(s0_up, 1,
+                    jnp.where(s0_left, 2,
+                    jnp.where(s1 & ((cell & TB_E_OPEN) != 0), 0,
+                    jnp.where(s2 & ((cell & TB_F_OPEN) != 0), 0, state)))))
+        i2, j2 = i - di, j - dj
+        done2 = done | ((i2 < 0) & (j2 < 0))
+        return (i2, j2, new_state, done2), op.astype(jnp.uint8)
+
+    _carry, ops = jax.lax.scan(step, (i, j, state, done), None,
+                               length=n_steps)
+    return ops.reshape(-1).reshape(ops.shape)    # default layout for fetch
+
+
+def _rle_column(col: np.ndarray) -> list[tuple[int, int]]:
+    """Reverse-order op stream → forward CIGAR [(op, len)]."""
+    col = col[::-1]
+    col = col[col != 3]
+    if len(col) == 0:
+        return []
+    brk = np.nonzero(np.diff(col))[0] + 1
+    starts = np.concatenate([[0], brk])
+    stops = np.concatenate([brk, [len(col)]])
+    return [(int(col[s]), int(e - s)) for s, e in zip(starts, stops)]
+
+
+def banded_align_cigars(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
+                        scores: Scores = Scores()) -> list:
+    """Batched global banded alignment → exact CIGARs, one per row.
+
+    On TPU the traceback WALK runs on device (lax.scan over the Pallas
+    traceback) and only the op stream crosses the wire; elsewhere the scan
+    kernel + host walk is used."""
+    B = q.shape[0]
+    if _tpu_backend() and q.shape[1] % 8 == 0:
+        from .pallas import banded_align_pallas
+        _s, tb, _ej = banded_align_pallas(q, t, qlen, tlen, W=W, d_lo=d_lo,
+                                          scores=scores)
+        M = tb.shape[0]
+        n_steps = 2 * M + 3 * W + 10
+        ops = np.asarray(_walk_device(tb, jnp.asarray(qlen),
+                                      jnp.asarray(tlen), d_lo, n_steps))
+        return [_rle_column(ops[:, b]) for b in range(B)]
+    _s, tb, _ej = banded_align_scan(q, t, qlen, tlen, W=W, d_lo=d_lo,
+                                    scores=scores)
+    tb_np = np.asarray(tb)
+    return [traceback_cigar(tb_np[:, b], int(qlen[b]), int(tlen[b]),
+                            d_lo=d_lo) for b in range(B)]
+
+
 def banded_align_auto(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
                       scores: Scores = Scores()):
     """Traceback-path dispatch: Pallas kernel on TPU, lax.scan elsewhere.
