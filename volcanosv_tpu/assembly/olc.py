@@ -54,45 +54,104 @@ class AssemblyResult:
     n_overlaps: int = 0
 
 
+def _emit_overlap(overlaps, qi, ti, la, lb, strand, score,
+                  q_start, q_end, t_start, t_end, cfg):
+    """Dovetail check + append (shared by native and fallback paths)."""
+    if strand == 1:
+        b_start, b_end = t_start, t_end
+    else:
+        b_start, b_end = lb - t_end, lb - t_start
+    left_ov = min(q_start, b_start)
+    right_ov = min(la - q_end, lb - b_end)
+    if q_end - q_start < cfg.min_overlap_len:
+        return
+    if left_ov > cfg.max_overhang or right_ov > cfg.max_overhang:
+        return
+    overlaps.append(_Overlap(qi, ti, q_start, q_end, t_start, t_end,
+                             strand, score))
+
+
 def _find_overlaps(seqs: list[str], cfg: AssemblyConfig,
                    acfg: AlignConfig) -> list[_Overlap]:
-    """All-vs-all dovetail overlaps via the shared minimizer+chain core."""
+    """All-vs-all dovetail overlaps via the shared minimizer+chain core.
+
+    One native chain_segments call per query chains every (target, strand)
+    anchor segment at once (was one python chain_anchors call per pair)."""
+    from ..native import get_lib
+    lib = get_lib()
     codes = [encode_seq(s) for s in seqs]
     index = MinimizerIndex.build({str(i): c for i, c in enumerate(codes)},
                                  acfg.k, acfg.w)
     overlaps: list[_Overlap] = []
+    k = acfg.k
     for qi, qc in enumerate(codes):
-        pos, h, st = sketch_np(qc, acfg.k, acfg.w)
+        pos, h, st = sketch_np(qc, k, acfg.w)
         if len(pos) == 0:
             continue
         t_pos, q_pos, strand = index.anchors(pos, h, st)
-        # target read id per anchor
         t_idx, t_local = index.global_to_local(t_pos)
-        for ti in np.unique(t_idx):
-            if int(ti) == qi:
-                continue
-            sel = t_idx == ti
-            chains = chain_anchors(t_local[sel], q_pos[sel], strand[sel],
-                                   len(qc), acfg, max_chains=1)
-            if not chains:
-                continue
-            ch = chains[0]
-            la, lb = len(qc), len(codes[int(ti)])
-            # dovetail check: unaligned overhangs must be small
-            if ch.strand == 1:
-                b_start, b_end = ch.t_start, ch.t_end
+        keep = t_idx != qi
+        if not keep.any():
+            continue
+        qlen = len(qc)
+        if lib is None or not hasattr(lib, "chain_segments"):
+            for ti in np.unique(t_idx[keep]):
+                sel = keep & (t_idx == ti)
+                chains = chain_anchors(t_local[sel], q_pos[sel], strand[sel],
+                                       qlen, acfg, max_chains=1)
+                if not chains:
+                    continue
+                ch = chains[0]
+                _emit_overlap(overlaps, qi, int(ti), qlen,
+                              len(codes[int(ti)]), ch.strand, ch.score,
+                              ch.q_start, ch.q_end, ch.t_start, ch.t_end,
+                              cfg)
+            continue
+        ti = t_idx[keep].astype(np.int64)
+        tl = t_local[keep].astype(np.int64)
+        qp = q_pos[keep].astype(np.int64)
+        sa = strand[keep].astype(np.int64)
+        qp2 = np.where(sa == -1, qlen - k - qp, qp)
+        order = np.lexsort((qp2, tl, sa, ti))
+        ti_o, tl_o, qp_o, sa_o = ti[order], tl[order], qp2[order], sa[order]
+        change = np.nonzero((ti_o[1:] != ti_o[:-1])
+                            | (sa_o[1:] != sa_o[:-1]))[0] + 1
+        seg_off = np.concatenate([[0], change, [len(ti_o)]]).astype(np.int64)
+        n_seg = len(seg_off) - 1
+        score = np.zeros(n_seg, np.float32)
+        qlo = np.zeros(n_seg, np.int64)
+        qhi = np.zeros(n_seg, np.int64)
+        tlo = np.zeros(n_seg, np.int64)
+        thi = np.zeros(n_seg, np.int64)
+        nanch = np.zeros(n_seg, np.int32)
+        lib.chain_segments(np.ascontiguousarray(qp_o),
+                           np.ascontiguousarray(tl_o), seg_off, n_seg,
+                           k, 48, acfg.max_anchor_gap, acfg.chain_bandwidth,
+                           0.05, acfg.min_chain_anchors,
+                           score, qlo, qhi, tlo, thi, nanch)
+        seg_ti = ti_o[seg_off[:-1]]
+        seg_sa = sa_o[seg_off[:-1]]
+        passing = (score >= acfg.min_chain_score) & \
+                  (nanch >= acfg.min_chain_anchors)
+        # one chain per target; prefer the + strand (chain_anchors order)
+        best_for: dict[int, int] = {}
+        for s in np.nonzero(passing)[0]:
+            t = int(seg_ti[s])
+            if t not in best_for or int(seg_sa[best_for[t]]) == -1:
+                if t in best_for and int(seg_sa[s]) == -1:
+                    continue
+                best_for[t] = int(s)
+        for t, s in best_for.items():
+            strand_s = int(seg_sa[s])
+            q_end_or = int(qhi[s]) + k
+            q_start_or = int(qlo[s])
+            if strand_s == -1:
+                fq_start, fq_end = qlen - q_end_or, qlen - q_start_or
             else:
-                b_start, b_end = lb - ch.t_end, lb - ch.t_start
-            left_ov = min(ch.q_start, b_start)
-            right_ov = min(la - ch.q_end, lb - b_end)
-            span = ch.q_end - ch.q_start
-            if span < cfg.min_overlap_len:
-                continue
-            if left_ov > cfg.max_overhang or right_ov > cfg.max_overhang:
-                continue
-            overlaps.append(_Overlap(qi, int(ti), ch.q_start, ch.q_end,
-                                     ch.t_start, ch.t_end, ch.strand,
-                                     ch.score))
+                fq_start, fq_end = q_start_or, q_end_or
+            _emit_overlap(overlaps, qi, t, qlen, len(codes[t]), strand_s,
+                          float(score[s]), fq_start, fq_end,
+                          int(tlo[s]), int(thi[s]) + k, cfg)
     return overlaps
 
 

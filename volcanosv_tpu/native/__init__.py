@@ -71,6 +71,13 @@ def _configure(lib) -> None:
     lib.chain_backtrack.restype = ctypes.c_int64
 
     u32p = npc.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.chain_segments.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int32,
+        f32p, i64p, i64p, i64p, i64p, i32p]
+    lib.chain_segments.restype = None
+
     lib.sketch_dna.argtypes = [
         i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         i64p, u32p, i8p]

@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cmath>
 #include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -82,6 +84,73 @@ int64_t chain_backtrack(
     }
     delete[] order;
     return n_chains;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Batched best-chain-per-segment DP for the all-vs-all overlap stage
+// (assembly/olc._find_overlaps): one call chains every (target-read,
+// strand) anchor segment of one query.  seg_off[n_seg+1] delimits segments
+// in the (q, t) arrays, each segment pre-sorted by (t, q).  For each
+// segment only the single best chain is returned as its span — the overlap
+// detector consumes spans, not anchor paths.
+void chain_segments(
+    const int64_t* q, const int64_t* t, const int64_t* seg_off,
+    int64_t n_seg,
+    int32_t k, int32_t max_pred, int64_t max_gap, int64_t bandwidth,
+    float gap_scale, int32_t min_anchors,
+    float* out_score, int64_t* out_qlo, int64_t* out_qhi,
+    int64_t* out_tlo, int64_t* out_thi, int32_t* out_nanch)
+{
+    int64_t max_len = 0, total = 0;
+    for (int64_t s = 0; s < n_seg; s++) {
+        int64_t len = seg_off[s + 1] - seg_off[s];
+        if (len > max_len) max_len = len;
+        total += len;
+    }
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (total < 20000 || n_seg < 2) nt = 1;   // tiny work: skip thread cost
+    if (nt > (int)n_seg) nt = (int)n_seg;
+
+    auto work = [&](int tid) {
+        float* f = new float[max_len > 0 ? max_len : 1];
+        int32_t* pre = new int32_t[max_len > 0 ? max_len : 1];
+        for (int64_t s = tid; s < n_seg; s += nt) {
+            const int64_t off = seg_off[s];
+            const int64_t n = seg_off[s + 1] - off;
+            out_score[s] = 0.0f;
+            out_nanch[s] = 0;
+            if (n < min_anchors) continue;
+            const int64_t* qs = q + off;
+            const int64_t* ts = t + off;
+            chain_dp(qs, ts, n, k, max_pred, max_gap, bandwidth, gap_scale,
+                     f, pre);
+            int64_t best_i = 0;
+            for (int64_t i = 1; i < n; i++)
+                if (f[i] > f[best_i]) best_i = i;
+            int64_t cnt = 0, i = best_i, start = best_i;
+            while (i >= 0) { start = i; cnt++; i = pre[i]; }
+            if (cnt < min_anchors) continue;
+            out_score[s] = f[best_i];
+            out_qlo[s] = qs[start];
+            out_qhi[s] = qs[best_i];
+            out_tlo[s] = ts[start];
+            out_thi[s] = ts[best_i];
+            out_nanch[s] = (int32_t)cnt;
+        }
+        delete[] f;
+        delete[] pre;
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ths;
+        for (int tid = 0; tid < nt; ++tid) ths.emplace_back(work, tid);
+        for (auto& th : ths) th.join();
+    }
 }
 
 }  // extern "C"
