@@ -126,7 +126,7 @@ def _find_overlaps(seqs: list[str], cfg: AssemblyConfig,
         nanch = np.zeros(n_seg, np.int32)
         lib.chain_segments(np.ascontiguousarray(qp_o),
                            np.ascontiguousarray(tl_o), seg_off, n_seg,
-                           k, 48, acfg.max_anchor_gap, acfg.chain_bandwidth,
+                           k, 16, acfg.max_anchor_gap, acfg.chain_bandwidth,
                            0.05, acfg.min_chain_anchors,
                            score, qlo, qhi, tlo, thi, nanch)
         seg_ti = ti_o[seg_off[:-1]]
