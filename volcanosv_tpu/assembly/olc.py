@@ -202,10 +202,12 @@ def _layout(seqs: list[str], overlaps: list[_Overlap],
             parts: list[str] = []
             consumed: list[int] = []
             guard = n + 1
+            at_seed = True
             while guard > 0:
                 guard -= 1
                 best = None
                 best_ext = 0
+                cands: list[tuple[int, int]] = []   # (ext, read id)
                 la = len(seqs[cur])
                 for ov in by_a.get(cur, []):
                     if used[ov.b]:
@@ -217,9 +219,20 @@ def _layout(seqs: list[str], overlaps: list[_Overlap],
                     if a_tail > cfg.max_overhang:
                         continue
                     ext = (lb - b_e) - a_tail
+                    cands.append((ext, ov.b))
                     if ext > best_ext:
                         best_ext = ext
                         best = (ov, b_e + a_tail, o_b)
+                if not at_seed:
+                    # every candidate ends at/before the new path end (the
+                    # best extension spans them): consuming them here keeps
+                    # spanned reads from seeding redundant drafts later
+                    # (seed candidates are spared — they may still grow the
+                    # other direction)
+                    for ext, b in cands:
+                        if best is None or ext <= best_ext:
+                            used[b] = True
+                at_seed = False
                 if best is None:
                     break
                 ov, cut, o_b = best
