@@ -108,3 +108,38 @@ def test_inv_candidates_need_reverse_segment(inv_case):
     cands = (segment_candidates({"chr1": recs}, 1, cfg.complex_sv)
              + segment_candidates({"chr1": recs}, 2, cfg.complex_sv))
     assert any(c.svtype == "INV" for c in cands)
+
+
+def test_interspersed_dup_from_junction_pair():
+    """A distant-origin copy spliced into a contig (DUP:INT) must be called
+    as a DUP whose POS/END give the genomic source span, via the
+    out-and-back junction pair (SVIM_inter.py:293-321); the same-chromosome
+    over-max_sv_size jumps must also emit BND candidates."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    ref = random_genome(rng, 60_000)
+    src, src_len, dest = 40_000, 3_000, 10_000
+    copy = ref["chr1"][src:src + src_len]
+    hap = ref["chr1"][:dest] + copy + ref["chr1"][dest:30_000]
+    contigs = {"PS1_1_60000_hp1_0": hap, "PS1_1_60000_hp2_0": hap}
+    cfg = PipelineConfig.for_dtype("Hifi")
+    # shrink max_sv_size so the 30kb jumps classify as translocation-scale
+    cfg = dataclasses.replace(
+        cfg, complex_sv=dataclasses.replace(cfg.complex_sv,
+                                            max_sv_size=5_000))
+    aligner = Aligner(ref, AlignConfig.preset("asm10"))
+    recs = aligner.to_bam_records(aligner.align(list(contigs.items())),
+                                  contigs)
+    cands = segment_candidates({"chr1": recs}, 1, cfg.complex_sv)
+    dup_cands = [c for c in cands if c.svtype == "DUP"]
+    assert any(abs(c.pos - src) <= 50
+               and abs(c.svlen - src_len) <= 100 for c in dup_cands), \
+        [(c.svtype, c.pos, c.end, c.svlen) for c in cands]
+    # the junctions themselves surface as same-chrom breakends
+    assert sum(1 for c in cands if c.svtype == "BND"
+               and c.chrom2 == "chr1") >= 2
+    records = call_complex_svs({"chr1": recs}, ref, cfg)
+    dups = [r for r in records if r.svtype == "DUP"]
+    assert any(abs((r.pos - 1) - src) <= 50 and r.gt == "1|1"
+               for r in dups), [(r.pos, r.svlen, r.gt) for r in dups]

@@ -201,6 +201,7 @@ class ComplexSVConfig:
     dup_min_size_sim: float = 0.7
     dup_max_shift: int = 300
     dup_max_shift_ratio: float = 0.3
+    dup_int_dest_tol: int = 20       # is_similar(), SVIM_inter.py:12-16
     tra_cluster_dist: int = 100
     inv_merge_dist: int = 500
     inv_support_flank: int = 1_000

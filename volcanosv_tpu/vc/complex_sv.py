@@ -111,7 +111,11 @@ def segment_candidates(records_by_chrom: dict[str, list[BamRecord]],
                 if cfg.min_sv_size <= ln <= cfg.max_sv_size:
                     out.append(Candidate("INV", s.ref_name, s.pos, s.ref_end,
                                          ln, hap, qname))
+        # junction list for interspersed-DUP pairing, svim "translocations":
+        # (dir1, dir2, chr1, pos1, chr2, pos2)  (SVIM_inter.py:293-321)
+        juncs: list[tuple[str, str, str, int, str, int]] = []
         for a, b in zip(segs, segs[1:]):
+            q_gap = b.qo_start - a.qo_end
             if a.ref_name != b.ref_name:
                 # breakend pair at the junction (filter_tra.py bracket types)
                 pos1 = a.ref_end if a.strand == 1 else a.pos
@@ -120,6 +124,9 @@ def segment_candidates(records_by_chrom: dict[str, list[BamRecord]],
                     else ("]N" if b.strand == 1 else "[N")
                 out.append(Candidate("BND", a.ref_name, pos1, pos2, 0, hap,
                                      qname, chrom2=b.ref_name, orient=orient))
+                if a.strand == b.strand:
+                    d = "fwd" if a.strand == 1 else "rev"
+                    juncs.append((d, d, a.ref_name, pos1, b.ref_name, pos2))
                 continue
             if a.strand != b.strand:
                 continue                       # INV handled above
@@ -131,7 +138,6 @@ def segment_candidates(records_by_chrom: dict[str, list[BamRecord]],
                 ref_gap = a.pos - b.ref_end
                 dup_len = b.ref_end - a.pos
                 dup_pos = a.pos
-            q_gap = b.qo_start - a.qo_end
             if ref_gap < -cfg.segment_overlap_tol:
                 # back-jump on the reference → tandem duplication; a real
                 # junction is contiguous on the query (SVIM_inter DUP_TAN
@@ -141,6 +147,64 @@ def segment_candidates(records_by_chrom: dict[str, list[BamRecord]],
                     out.append(Candidate("DUP", a.ref_name, dup_pos,
                                          dup_pos + dup_len, dup_len, hap,
                                          qname))
+                elif (dup_len > cfg.max_sv_size
+                        and abs(q_gap) <= 2 * cfg.segment_overlap_tol):
+                    # very large tandem or translocation
+                    _emit_same_chrom_bnd(out, juncs, a, b, hap, qname)
+            elif (ref_gap > cfg.max_sv_size
+                    and abs(q_gap) <= 2 * cfg.segment_overlap_tol):
+                # very large DEL or intra-chromosomal translocation
+                # (SVIM_inter.py:131-140)
+                _emit_same_chrom_bnd(out, juncs, a, b, hap, qname)
+        out.extend(_interspersed_dups(juncs, hap, qname, cfg))
+    return out
+
+
+def _emit_same_chrom_bnd(out: list[Candidate], juncs: list, a: _Segment,
+                         b: _Segment, hap: int, qname: str) -> None:
+    """Same-chromosome breakend from a > max_sv_size jump
+    (SVIM_inter.py:131-140, 155-160, 166-171)."""
+    if a.strand == 1:
+        pos1, pos2, d = a.ref_end - 1, b.pos, "fwd"
+        orient = "N["
+    else:
+        pos1, pos2, d = a.pos, b.ref_end - 1, "rev"
+        orient = "]N"
+    out.append(Candidate("BND", a.ref_name, pos1, pos2, 0, hap, qname,
+                         chrom2=b.ref_name, orient=orient))
+    juncs.append((d, d, a.ref_name, pos1, b.ref_name, pos2))
+
+
+def _interspersed_dups(juncs: list, hap: int, qname: str,
+                       cfg: ComplexSVConfig) -> list[Candidate]:
+    """Interspersed duplication (DUP:INT) from an out-and-back junction
+    pair: the contig leaves the destination locus to a distant origin and
+    returns to (within 20bp of) the same destination breakpoint, so the
+    origin span is a copy spliced in at the destination
+    (SVIM_inter.py:293-321).  POS/END give the genomic *source* span, as in
+    svim-asm's DUP:INT records that volcanosv-vc-complex-sv.py greps into
+    DUP_final.vcf (:135-138)."""
+    out = []
+    for j in range(len(juncs)):
+        t_dir1, t_dir2, t_chr1, t_pos1, t_chr2, t_pos2 = juncs[j]
+        for b_dir1, b_dir2, b_chr1, b_pos1, b_chr2, b_pos2 in juncs[:j]:
+            if not (b_dir1 == t_dir2 and b_dir2 == t_dir1
+                    and b_dir1 == b_dir2):
+                continue
+            # destination breakpoints coincide, origin on one chromosome
+            if (b_chr1 != t_chr2
+                    or abs(b_pos1 - t_pos2) >= cfg.dup_int_dest_tol
+                    or b_chr2 != t_chr1):
+                continue
+            if b_dir1 == "fwd":
+                length = t_pos1 + 1 - b_pos2
+                src = b_pos2
+            else:
+                length = b_pos2 + 1 - t_pos1
+                src = t_pos1
+            if cfg.min_sv_size <= length <= cfg.max_sv_size:
+                out.append(Candidate("DUP", b_chr2, src, src + length,
+                                     length, hap, qname))
     return out
 
 
