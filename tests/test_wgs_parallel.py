@@ -73,3 +73,25 @@ def test_host_chromosome_shard_partition():
     assert all(len(s) in (5, 6) for s in shards)
     # current (single) process owns everything
     assert host_chromosome_shard(chroms) == chroms
+
+
+def test_wgs_global_median_ragged_chrom_vectors():
+    """The pipeline's own path (cli._call_large_indels): ragged per-chrom
+    rel_cov vectors → collective median == host median."""
+    from volcanosv_tpu.parallel.wgs import wgs_global_median
+    mesh = make_mesh(8, genome_shards=4)
+    rng = np.random.default_rng(3)
+    rels = [rng.uniform(0, 5, n).astype(np.float32)
+            for n in (7, 0, 23, 11, 5)]
+    got = wgs_global_median(rels, mesh)
+    want = float(np.median(np.concatenate(rels)))
+    assert abs(got - want) < 1e-5, (got, want)
+    # serial fallback (mesh=None) must agree bit-for-bit with itself
+    host = wgs_global_median(rels, None)
+    assert abs(host - want) < 1e-5
+
+
+def test_wgs_global_median_empty():
+    from volcanosv_tpu.parallel.wgs import wgs_global_median
+    assert wgs_global_median([], None) == 0.0
+    assert wgs_global_median([np.zeros(0, np.float32)], None) == 0.0

@@ -303,22 +303,86 @@ def _reads_sigs_cached(args, ref, cfg, reads_by_chrom):
     return sigs
 
 
-def cmd_vc_large_indel(args) -> int:
-    from .io.fasta import read_fasta
-    from .vc.large_indel import call_chromosome
-    ref = _load_ref(args.ref)
-    contigs = read_fasta(args.contig)
-    cfg = PipelineConfig.for_dtype(args.dtype)
-    by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
-    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
-    reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom)
-    records = []
-    for chrom in ref:
+def _own_chroms(ref: dict[str, str]) -> list[str]:
+    """This process's chromosome shard.  Single-process → all chromosomes;
+    under jax.distributed each host owns a round-robin share (the
+    multi-host replacement for '22 SLURM jobs', README.md:244-255)."""
+    import jax
+
+    from .parallel.mesh import host_chromosome_shard
+    chroms = list(ref)
+    if jax.process_count() > 1:
+        chroms = host_chromosome_shard(chroms)
+        log.info("host %d/%d owns chromosomes: %s", jax.process_index(),
+                 jax.process_count(), chroms)
+    return chroms
+
+
+def _pipeline_mesh():
+    """The (genome, data) mesh the drivers run collectives over — None when
+    only one device is visible (serial fallback path)."""
+    import jax
+
+    from .parallel import make_mesh
+    return make_mesh() if len(jax.devices()) > 1 else None
+
+
+def _call_large_indels(ref, by_chrom, contigs, cfg, reads_by_chrom,
+                       reads_sigs, chroms=None):
+    """All-chromosome large-indel calling with the WGS-global coverage
+    median computed as a genome-axis collective over the device mesh
+    (parallel.wgs.wgs_global_median) — the reference's per-run median after
+    the all-chromosome concat (volcanosv-vc-large-indel.py:266-278 +
+    filter_vcf_by_sig_cov_insdel.py:38-55)."""
+    from .vc.gt_correction import rel_coverage
+    from .vc.large_indel import call_chromosome_raw, finalize_chromosome
+    chroms = chroms if chroms is not None else list(ref)
+    raw: dict[str, tuple] = {}
+    for chrom in chroms:
         with stage_timer(f"large-indel[{chrom}]", log):
-            records += call_chromosome(
+            raw[chrom] = call_chromosome_raw(
                 chrom, by_chrom.get(chrom, []), ref[chrom], contigs, cfg,
                 reads_records=(reads_by_chrom or {}).get(chrom),
                 reads_sigs=(reads_sigs or {}).get(chrom))
+    medians: dict[str, float] = {}
+    have_sigs = [c for c in chroms if raw[c][1] is not None]
+    if have_sigs and reads_by_chrom:
+        from .parallel.wgs import wgs_global_median
+        mesh = _pipeline_mesh()
+        for svtype, apply_it in (("DEL", cfg.cov_filter.apply_del),
+                                 ("INS", cfg.cov_filter.apply_ins)):
+            if not apply_it:
+                continue
+            rels = [rel_coverage(raw[c][0], raw[c][1], cfg.cov_filter,
+                                 svtype)[1] for c in have_sigs]
+            if sum(len(r) for r in rels) >= cfg.cov_filter.min_calls:
+                with stage_timer("wgs-global-median", log):
+                    medians[svtype] = wgs_global_median(rels, mesh)
+                log.info("WGS-global %s rel_cov median: %.4f (%s)",
+                         svtype, medians[svtype],
+                         "mesh collective" if mesh is not None else "host")
+    records = []
+    for chrom in chroms:
+        recs, gt_sigs = raw[chrom]
+        records += finalize_chromosome(
+            recs, gt_sigs, (reads_by_chrom or {}).get(chrom), cfg,
+            cov_medians=medians or None)
+    return records
+
+
+def cmd_vc_large_indel(args) -> int:
+    from .io.fasta import read_fasta
+    from .parallel.mesh import init_multihost
+    init_multihost()
+    ref = _load_ref(args.ref)
+    contigs = read_fasta(args.contig)
+    cfg = PipelineConfig.for_dtype(args.dtype, asm=getattr(args, "asm", "volcano"))
+    by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
+    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
+    reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom)
+    records = _call_large_indels(ref, by_chrom, contigs, cfg,
+                                 reads_by_chrom, reads_sigs,
+                                 chroms=_own_chroms(ref))
     _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, records)
     return 0
 
@@ -386,9 +450,10 @@ def cmd_run(args) -> int:
     """Full pipeline: asm + all three vc paths + merge (one command)."""
     from .io.fasta import write_fasta
     from .io.vcf import merge_vcfs
+    from .parallel.mesh import init_multihost
     from .vc.complex_sv import call_complex_svs
-    from .vc.large_indel import call_chromosome
     from .vc.small_indel import call_small_indels
+    init_multihost()
     ref = _load_ref(args.ref)
     read_seqs = _load_reads(args)
     if not read_seqs:
@@ -406,14 +471,9 @@ def cmd_run(args) -> int:
                                         _read_preset(args.dtype))
     li_by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
     reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom)
-    large, ins_records = [], []
-    for chrom in ref:
-        recs = call_chromosome(chrom, li_by_chrom.get(chrom, []), ref[chrom],
-                               contigs, cfg,
-                               reads_records=reads_by_chrom.get(chrom),
-                               reads_sigs=(reads_sigs or {}).get(chrom))
-        large += recs
-        ins_records += [r for r in recs if r.svtype == "INS"]
+    large = _call_large_indels(ref, li_by_chrom, contigs, cfg,
+                               reads_by_chrom, reads_sigs)
+    ins_records = [r for r in large if r.svtype == "INS"]
     p_large = _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, large)
 
     si_by_chrom, _ = _align_by_chrom(ref, contigs, "asm20")
@@ -447,6 +507,10 @@ def _add_common(p, contig=False, reads=True):
     if contig:
         p.add_argument("--contig", required=True,
                        help="hp1/hp2-named contig FASTA (otherasm contract)")
+        p.add_argument("--asm", default="volcano",
+                       choices=["volcano", "other"],
+                       help="coverage-band profile row (filter_para.csv "
+                            "asm column; 'other' for imported assemblies)")
     if reads:
         p.add_argument("--fastq", help="reads FASTQ(.gz)")
         p.add_argument("--bam", help="reads BAM")

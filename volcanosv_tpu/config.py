@@ -125,19 +125,42 @@ class RedundancyConfig:
     del_min_size_sim: float = 0.1
 
 
+# filter_para.csv verbatim: (asm, dtype) → (lb_ins, rb_ins, lb_del, rb_del)
+FILTER_PARA: dict[tuple[str, str], tuple[float, float, float, float]] = {
+    ("other", "hifi"): (0.048, 2.61, 0.097, 2.59),
+    ("other", "clr"): (0.0327, 2.476, 0.102, 2.638),
+    ("other", "ont"): (0.191, 2.44, 0.123, 2.67),
+    ("volcano", "hifi"): (0.097, 2.754, 0.2, 2.605),
+    ("volcano", "clr"): (0.075, 2.383, 0.186, 3.018),
+    ("volcano", "ont"): (0.206, 2.79, 0.242, 2.77),
+}
+
+
 @dataclass(frozen=True)
 class CovFilterConfig:
     """Relative-coverage band-pass, per (asm,dtype). ref: filter_para.csv +
     filter_vcf_by_sig_cov_insdel.py:20-27.  Bounds are multiples of the
-    per-run median rel_cov.  Full table (filter_para.csv, volcano rows):
-    hifi (0.2, 2.605), clr (0.186, 3.018), ont (0.242, 2.77)."""
+    per-run (WGS-global) median rel_cov.  `for_mode` selects the
+    filter_para.csv row; the reference driver hard-codes asm='volcano'
+    (filter_GT_correction.py:144) and filters DEL only (ft_vtype='DEL',
+    :27) — the 'other' rows back the --contig/otherasm entry."""
     flank: int = 1_000
     del_low: float = 0.2             # volcano/hifi DEL band (filter_para.csv:5)
     del_high: float = 2.605
+    ins_low: float = 0.097           # volcano/hifi INS band (used when
+    ins_high: float = 2.754          # apply_ins is enabled, vtype='INSDEL')
     apply_del: bool = True
     apply_ins: bool = False          # reference filters DEL only (ft_vtype='DEL')
     min_calls: int = 20              # median of fewer calls is meaningless;
                                      # the reference only runs this on WGS sets
+
+    @staticmethod
+    def for_mode(dtype: "DataType | str", asm: str = "volcano",
+                 ) -> "CovFilterConfig":
+        lb_i, rb_i, lb_d, rb_d = FILTER_PARA[
+            (asm, DataType(dtype).value.lower())]
+        return CovFilterConfig(del_low=lb_d, del_high=rb_d,
+                               ins_low=lb_i, ins_high=rb_i)
 
 
 @dataclass(frozen=True)
@@ -153,6 +176,13 @@ class GTCorrectionConfig:
     del_flank: int = 150
     ins_flank: int = 100
     size_boundary: int = 1_000       # 'large' vs 'small' (correct_gt_eval)
+    # per-read signature merging before support counting
+    # (sig_extract.py generate_combine_sigs:373-435; defaults '-mi 100 -md 0'
+    # sig_extract.py:710-717) — fragmented sigs of a noisy read merge when
+    # the gap to the previous signature is ≤ merge_dis
+    merge_ins_dis: int = 100
+    merge_del_dis: int = 0
+    merge_min_siglength: int = 10    # sig_extract '-s' min_siglength floor
     # n_ratio thresholds (t_large_11, t_small_11, t_large_01, t_small_01);
     # None disables (== 'nan' in para/GT_correction_para_{dtype}_{TYPE}.txt)
     del_thresholds: tuple = (0.6, 0.69, 0.71, 0.91)       # Hifi DEL
@@ -287,10 +317,15 @@ class PipelineConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
     @staticmethod
-    def for_dtype(dtype: DataType | str) -> "PipelineConfig":
+    def for_dtype(dtype: DataType | str, asm: str = "volcano",
+                  ) -> "PipelineConfig":
+        """Per-dtype parameter profile; asm ∈ {volcano, other} selects the
+        filter_para.csv coverage-band row (the 'other' rows back the
+        --contig/otherasm entry, README.md:397-410)."""
         dtype = DataType(dtype)
         base = PipelineConfig(
-            dtype=dtype, gt_correction=GTCorrectionConfig.for_dtype(dtype))
+            dtype=dtype, gt_correction=GTCorrectionConfig.for_dtype(dtype),
+            cov_filter=CovFilterConfig.for_mode(dtype, asm))
         if dtype == DataType.HIFI:
             return base
         if dtype == DataType.CLR:
@@ -298,15 +333,11 @@ class PipelineConfig:
             return dataclasses.replace(
                 base,
                 signature=dataclasses.replace(base.signature, split_rel_overlap=0.3),
-                cov_filter=dataclasses.replace(
-                    base.cov_filter, del_low=0.186, del_high=3.018),
                 assembly=dataclasses.replace(base.assembly, dedup_reads=True),
             )
         # ONT: r=0.5 (extract_contig_signature_ONT.py:348-380)
         return dataclasses.replace(
             base,
             signature=dataclasses.replace(base.signature, split_rel_overlap=0.5),
-            cov_filter=dataclasses.replace(
-                base.cov_filter, del_low=0.242, del_high=2.77),
             assembly=dataclasses.replace(base.assembly, dedup_reads=True),
         )

@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.banded_align import Scores, banded_align_scan
 from ..ops.kmer import count_kmers_dense, kmer_hashes
@@ -55,6 +55,6 @@ def build_sharded_align_step(mesh: Mesh, *, W: int = 128, d_lo: int = -64,
         mesh=mesh,
         in_specs=(spec_b, spec_b, spec_b, spec_b),
         out_specs=(spec_b, P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

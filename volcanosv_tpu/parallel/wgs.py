@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .mesh import AXES
 
@@ -55,7 +55,7 @@ def build_sig_merge_step(mesh: Mesh, *, max_shift: int = 100,
         mesh=mesh,
         in_specs=(P(AXES.genome), P(AXES.genome), P(AXES.genome)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -80,6 +80,51 @@ def build_global_median_step(mesh: Mesh):
         mesh=mesh,
         in_specs=(P(AXES.genome), P(AXES.genome)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
+
+
+def wgs_global_median(values_by_shard: list, mesh: Mesh | None = None,
+                      ) -> float:
+    """WGS-global median of per-chromosome value vectors — THE statistic the
+    coverage band-pass bands against (filter_vcf_by_sig_cov_insdel.py:38-55
+    takes the 0.5 quantile of the concatenated all-chromosome rel_cov set,
+    after the concat at volcanosv-vc-large-indel.py:266-278).
+
+    This is the pipeline's execution path for the large-indel drivers
+    (cli.cmd_vc_large_indel / cmd_run): each chromosome's rel_cov vector is
+    a genome-axis shard, padded to a common length, and the median is an
+    all_gather + masked device sort over the mesh.  Falls back to a host
+    median when no multi-device mesh is available (or when values are
+    empty), producing the identical float32 statistic."""
+    import numpy as np
+    arrs = [np.asarray(v, np.float32).reshape(-1) for v in values_by_shard]
+    flat = np.concatenate(arrs) if arrs else np.zeros(0, np.float32)
+    if flat.size == 0:
+        return 0.0
+    if mesh is None or mesh.devices.size <= 1:
+        # float32 mirror of _median_local so the mesh and serial paths
+        # produce bit-identical medians (→ byte-identical VCFs)
+        s = np.sort(flat)
+        n = len(s)
+        return float((s[(n - 1) // 2] + s[n // 2]) / np.float32(2))
+    n_sh = mesh.shape[AXES.genome]
+    # pack chromosome vectors into n_sh equal shards (round-robin), padded
+    per = [list() for _ in range(n_sh)]
+    for i, a in enumerate(arrs):
+        per[i % n_sh].append(a)
+    shards = [np.concatenate(p) if p else np.zeros(0, np.float32)
+              for p in per]
+    S = max(max(len(s) for s in shards), 1)
+    vals = np.zeros((n_sh, S), np.float32)
+    valid = np.zeros((n_sh, S), bool)
+    for i, s in enumerate(shards):
+        vals[i, :len(s)] = s
+        valid[i, :len(s)] = True
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, P(AXES.genome))
+    v = jax.device_put(jnp.asarray(vals.reshape(-1)), sh)
+    m = jax.device_put(jnp.asarray(valid.reshape(-1)), sh)
+    med = build_global_median_step(mesh)(v, m)
+    return float(jax.device_get(med))

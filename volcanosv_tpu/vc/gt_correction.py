@@ -26,10 +26,15 @@ log = get_logger("gt_correction")
 
 
 def aggregate_read_sigs(sigs: list[Signature], svtype: str,
+                        min_size: int = 0,
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(pos, svlen, n_reads) sorted by pos — duplicate (pos, svlen) rows
-    from different reads collapse with a count."""
-    rows = [(s.pos, s.svlen) for s in sigs if s.svtype == svtype]
+    from different reads collapse with a count (the reference's sort|uniq
+    reduce over per-read rows, sig_extract.py:637-643).  min_size drops
+    merged signatures below the support-calculator floor
+    (calculate_signature_support.py:44, '-s 30')."""
+    rows = [(s.pos, s.svlen) for s in sigs
+            if s.svtype == svtype and s.svlen >= min_size]
     if not rows:
         z = np.zeros(0, np.int64)
         return z, z, z
@@ -145,37 +150,61 @@ def correct_genotypes(records: list[VcfRecord],
     return records
 
 
+def rel_coverage(records: list[VcfRecord], reads_sigs: list[Signature],
+                 cfg: CovFilterConfig, svtype: str,
+                 ) -> tuple[list[int], np.ndarray]:
+    """(record indices, rel_cov) for one svtype.
+
+    rel_cov = (Σ svlen·n_reads of merged read sigs ≥30bp within ±flank of
+    the call) / call svlen — calculate_signature_support.py's 'cov/svlen'
+    column (:361-366) with the min_size=30 floor (:44)."""
+    idx = [i for i, r in enumerate(records) if r.svtype == svtype]
+    if not idx:
+        return idx, np.zeros(0, np.float32)
+    sp, sl, sc = aggregate_read_sigs(reads_sigs, svtype, min_size=30)
+    pos = np.array([records[i].pos for i in idx], np.int64)
+    ln = np.array([records[i].svlen for i in idx], np.int64)
+    if len(sp) == 0:
+        return idx, np.zeros(len(idx), np.float32)
+    lo = np.searchsorted(sp, pos - cfg.flank, "left")
+    hi = np.searchsorted(sp, pos + cfg.flank, "right")
+    cov = np.array([
+        float((sl[lo[i]:hi[i]] * sc[lo[i]:hi[i]]).sum())
+        for i in range(len(idx))])
+    return idx, (cov / np.maximum(ln, 1)).astype(np.float32)
+
+
 def coverage_filter(records: list[VcfRecord],
                     reads_sigs: list[Signature],
-                    cfg: CovFilterConfig) -> list[VcfRecord]:
+                    cfg: CovFilterConfig,
+                    medians: dict[str, float] | None = None,
+                    ) -> list[VcfRecord]:
     """Median-relative band-pass on signature coverage (DEL by default).
 
     rel_cov = (Σ svlen of read sigs within ±flank) / svlen; keep calls with
-    rel_cov in [lo*median, hi*median] (filter_vcf_by_sig_cov_insdel.py)."""
+    rel_cov in [lo*median, hi*median] (filter_vcf_by_sig_cov_insdel.py:
+    20-60, filter_para.csv bands).  `medians` supplies the per-run WGS
+    median per svtype (the reference computes it over the concatenated
+    all-chromosome call set, volcanosv-vc-large-indel.py:266-278 +
+    filter_vcf_by_sig_cov_insdel.py:55) — computed on the device mesh by
+    parallel.wgs.wgs_global_median in the multi-chrom drivers; when None
+    the median of the supplied call set is used (single-chrom mode)."""
     if not records:
         return records
     keep = np.ones(len(records), bool)
     for svtype, apply_it, lo_m, hi_m in (
             ("DEL", cfg.apply_del, cfg.del_low, cfg.del_high),
-            ("INS", cfg.apply_ins, cfg.del_low, cfg.del_high)):
+            ("INS", cfg.apply_ins, cfg.ins_low, cfg.ins_high)):
         if not apply_it:
             continue
-        idx = [i for i, r in enumerate(records) if r.svtype == svtype]
-        if len(idx) < cfg.min_calls:
-            continue
-        sp, sl, sc = aggregate_read_sigs(reads_sigs, svtype)
-        if len(sp) == 0:
-            continue
-        pos = np.array([records[i].pos for i in idx], np.int64)
-        ln = np.array([records[i].svlen for i in idx], np.int64)
-        lo = np.searchsorted(sp, pos - cfg.flank, "left")
-        hi = np.searchsorted(sp, pos + cfg.flank, "right")
-        cov = np.array([
-            float((sl[lo[i]:hi[i]] * sc[lo[i]:hi[i]]).sum())
-            for i in range(len(idx))])
-        rel = cov / np.maximum(ln, 1)
-        med = float(np.median(rel))
-        if med <= 0:
+        idx, rel = rel_coverage(records, reads_sigs, cfg, svtype)
+        if medians is not None and svtype in medians:
+            med = float(medians[svtype])
+        else:
+            if len(idx) < cfg.min_calls:
+                continue
+            med = float(np.median(rel)) if len(rel) else 0.0
+        if med <= 0 or not len(idx):
             continue
         bad = (rel < lo_m * med) | (rel > hi_m * med)
         for j, i in enumerate(idx):

@@ -22,7 +22,8 @@ from ..utils.logging import get_logger
 from .gt_correction import correct_genotypes, coverage_filter
 from .pairing import PairedCall, pair_haplotype_sigs
 from .redundancy import find_redundant
-from .reads_sig import extract_reads_signatures, support_counts
+from .reads_sig import (extract_gt_read_sigs, extract_reads_signatures,
+                        support_counts)
 from .signatures import Signature, extract_contig_signatures
 
 log = get_logger("large_indel")
@@ -154,7 +155,7 @@ def phase_records(records: list[VcfRecord]) -> list[VcfRecord]:
     return records
 
 
-def call_chromosome(
+def call_chromosome_raw(
     chrom: str,
     contig_records: list[BamRecord],
     ref_seq: str,
@@ -162,8 +163,11 @@ def call_chromosome(
     cfg: PipelineConfig,
     reads_records: list[BamRecord] | None = None,
     reads_sigs: list[Signature] | None = None,
-) -> list[VcfRecord]:
-    """Full large-indel calling for one chromosome."""
+) -> tuple[list[VcfRecord], list[Signature] | None]:
+    """Per-chromosome raw calling up to redundancy removal (the
+    Raw_variant_call.py stage).  Returns (records, gt_sigs) where gt_sigs
+    is the merged cuteSV-style read-signature stream feeding the
+    filter_GT_correction.py chain (None without reads)."""
     sig_hp1 = extract_contig_signatures(contig_records, chrom, "hp1",
                                         cfg.signature)
     sig_hp2 = extract_contig_signatures(contig_records, chrom, "hp2",
@@ -177,13 +181,50 @@ def call_chromosome(
     if reads_sigs is not None:
         records = fp_filter_records(records, reads_sigs, cfg)
     records = remove_redundancy_records(records, cfg)
-    if reads_sigs is not None and reads_records is not None:
-        # filter_GT_correction.py chain: coverage band-pass + GT re-estimate
-        records = coverage_filter(records, reads_sigs, cfg.cov_filter)
+    gt_sigs = None
+    if reads_records is not None:
+        gt_sigs = extract_gt_read_sigs(reads_records, chrom,
+                                       cfg.gt_correction)
+    elif reads_sigs is not None:
+        gt_sigs = reads_sigs       # pre-computed -rdsig fallback (unmerged)
+    return records, gt_sigs
+
+
+def finalize_chromosome(
+    records: list[VcfRecord],
+    gt_sigs: list[Signature] | None,
+    reads_records: list[BamRecord] | None,
+    cfg: PipelineConfig,
+    cov_medians: dict[str, float] | None = None,
+) -> list[VcfRecord]:
+    """The filter_GT_correction.py chain + phasing for one chromosome's raw
+    records.  cov_medians carries the WGS-global per-svtype rel_cov median
+    (filter_vcf_by_sig_cov_insdel.py:38-55 computes it over the
+    concatenated all-chromosome set) — see parallel.wgs.wgs_global_median."""
+    if gt_sigs is not None and reads_records is not None:
+        records = coverage_filter(records, gt_sigs, cfg.cov_filter,
+                                  medians=cov_medians)
         rs = np.array([r.pos for r in reads_records if not r.is_unmapped],
                       np.int64)
         re_ = np.array([r.reference_end for r in reads_records
                         if not r.is_unmapped], np.int64)
-        records = correct_genotypes(records, reads_sigs, rs, re_,
+        records = correct_genotypes(records, gt_sigs, rs, re_,
                                     cfg.gt_correction)
     return phase_records(records)
+
+
+def call_chromosome(
+    chrom: str,
+    contig_records: list[BamRecord],
+    ref_seq: str,
+    contig_seqs: dict[str, str],
+    cfg: PipelineConfig,
+    reads_records: list[BamRecord] | None = None,
+    reads_sigs: list[Signature] | None = None,
+) -> list[VcfRecord]:
+    """Full large-indel calling for one chromosome (single-chrom mode:
+    the coverage-filter median is this chromosome's own call set)."""
+    records, gt_sigs = call_chromosome_raw(
+        chrom, contig_records, ref_seq, contig_seqs, cfg,
+        reads_records=reads_records, reads_sigs=reads_sigs)
+    return finalize_chromosome(records, gt_sigs, reads_records, cfg)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import FPFilterConfig, SignatureConfig
+from ..config import FPFilterConfig, GTCorrectionConfig, SignatureConfig
 from ..io.bam import BamRecord
 from .signatures import Signature, _read_span, cigar_sigs
 
@@ -80,6 +80,73 @@ def extract_reads_signatures(
             out.extend(_split_sigs_reads(
                 a, b, chrom, cfg.reads_min_mapq, cfg.reads_min_sv_size,
                 scfg.max_sv_size))
+    out.sort(key=lambda s: s.pos)
+    return out
+
+
+def merge_read_sigs(sigs: list[Signature], svtype: str, merge_dis: int
+                    ) -> list[Signature]:
+    """Distance-based merge of one read's pos-sorted signatures.
+
+    ref generate_combine_sigs (sig_extract.py:373-435): walking the sorted
+    sigs, a signature joins the running merge when its pos is within
+    merge_dis of the previous signature's endpoint — for INS the previous
+    signature's pos, for DEL its pos+svlen — and merged svlen is the sum."""
+    if len(sigs) < 2:
+        return list(sigs)
+    out: list[Signature] = []
+    cur = sigs[0]
+    cur_len = cur.svlen
+    # INS tracks last merged pos (temp_sig[3]); DEL tracks pos+len (sum(i))
+    cur_end = cur.pos if svtype == "INS" else cur.pos + cur.svlen
+    for s in sigs[1:]:
+        if s.pos - cur_end <= merge_dis:
+            cur_len += s.svlen
+            cur_end = s.pos if svtype == "INS" else s.pos + s.svlen
+        else:
+            out.append(Signature(cur.chrom, svtype, cur.pos, cur_len,
+                                 cur.qname, cur.q_start, cur.q_end,
+                                 cur.strand, cur.source, cur.mapq))
+            cur, cur_len = s, s.svlen
+            cur_end = s.pos if svtype == "INS" else s.pos + s.svlen
+    out.append(Signature(cur.chrom, svtype, cur.pos, cur_len, cur.qname,
+                         cur.q_start, cur.q_end, cur.strand, cur.source,
+                         cur.mapq))
+    return out
+
+
+def extract_gt_read_sigs(
+    records: list[BamRecord], chrom: str, cfg: GTCorrectionConfig,
+    min_mapq: int = 20, min_read_len: int = 500,
+) -> list[Signature]:
+    """The cuteSV-style merged signature stream driving GT correction.
+
+    ref sig_extract.py parse_read (:438-493) with the driver's defaults
+    (sig_extract.py:700-742, filter_GT_correction.py:108-116): signatures
+    ≥ min_siglength (10) from reads ≥ 500bp at mapq ≥ 20, merged per read
+    with merge_ins_threshold=100 / merge_del_threshold=0; split-segment
+    signatures appended unmerged (analysis_split_read)."""
+    from ..config import SignatureConfig
+    scfg = SignatureConfig(min_sv_size=cfg.merge_min_siglength,
+                           min_mapq=min_mapq)
+    out: list[Signature] = []
+    by_name: dict[str, list[BamRecord]] = {}
+    for r in records:
+        if r.is_unmapped or r.mapq < min_mapq:
+            continue
+        if r.seq and len(r.seq) < min_read_len:
+            continue
+        d, i = cigar_sigs(r, chrom, scfg, merge=False)
+        out.extend(merge_read_sigs(d, "DEL", cfg.merge_del_dis))
+        out.extend(merge_read_sigs(i, "INS", cfg.merge_ins_dis))
+        by_name.setdefault(r.name, []).append(r)
+    for name, group in by_name.items():
+        if len(group) < 2:
+            continue
+        group.sort(key=lambda r: r.pos)
+        for a, b in zip(group, group[1:]):
+            out.extend(_split_sigs_reads(a, b, chrom, min_mapq, 30,
+                                         scfg.max_sv_size))
     out.sort(key=lambda s: s.pos)
     return out
 

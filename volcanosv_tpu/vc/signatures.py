@@ -65,10 +65,14 @@ def _cigar_positions(cigar: np.ndarray, pos: int):
     return ref_start, q_start
 
 
-def cigar_sigs(rec: BamRecord, chrom: str, cfg: SignatureConfig):
+def cigar_sigs(rec: BamRecord, chrom: str, cfg: SignatureConfig,
+               merge: bool = True):
     """CIGAR DEL/INS signatures of one alignment (+ per-read merge).
 
-    ref: extract_sig_from_cigar (extract_contig_signature_Hifi.py:53-166)."""
+    ref: extract_sig_from_cigar (extract_contig_signature_Hifi.py:53-166).
+    merge=False returns the raw per-op signatures (the cuteSV-style stream
+    of sig_extract.py parse_read, which applies its own distance-based
+    merge downstream — see reads_sig.extract_gt_read_sigs)."""
     cigar = np.asarray(rec.cigar)
     if len(cigar) == 0:
         return [], []
@@ -86,6 +90,8 @@ def cigar_sigs(rec: BamRecord, chrom: str, cfg: SignatureConfig):
             q1 = q0 + 1 if svtype == "DEL" else q0 + L
             out.append(Signature(chrom, svtype, int(ref_start[i]), L,
                                  rec.name, q0, q1, strand, "cigar", mq))
+    if not merge:
+        return dels, inss
     return _merge_dels_one_read(dels), _merge_inss_one_read(inss)
 
 
