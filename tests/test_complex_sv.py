@@ -89,12 +89,20 @@ def test_bnd_from_cross_chrom_contig():
         by_chrom[aligner.names[r.ref_id]].append(r)
     records = call_complex_svs(by_chrom, ref, cfg)
     bnds = [r for r in records if r.svtype == "BND"]
-    assert len(bnds) == 1, [(r.chrom, r.pos, r.alt, r.gt) for r in bnds]
-    r = bnds[0]
-    assert r.gt == "1|1"
-    assert abs(r.pos - a) <= 100, r.pos
-    assert r.info["CHR2"] == "chr2"
-    assert "[" in r.alt or "]" in r.alt
+    # one breakend = TWO reciprocal records linked by MATEID (VCF BND
+    # semantics / svim-asm output contract)
+    assert len(bnds) == 2, [(r.chrom, r.pos, r.alt, r.gt) for r in bnds]
+    by_id = {r.id: r for r in bnds}
+    for r in bnds:
+        assert r.gt == "1|1"
+        assert "[" in r.alt or "]" in r.alt
+        mate = by_id[r.info["MATEID"]]
+        assert mate.info["MATEID"] == r.id          # reciprocal link
+        assert mate.chrom == r.info["CHR2"]
+        assert mate.pos == r.info["END"]
+    primary = [r for r in bnds if r.chrom == "chr1"][0]
+    assert abs(primary.pos - a) <= 100, primary.pos
+    assert primary.info["CHR2"] == "chr2"
 
 
 def test_inv_candidates_need_reverse_segment(inv_case):
@@ -143,3 +151,53 @@ def test_interspersed_dup_from_junction_pair():
     dups = [r for r in records if r.svtype == "DUP"]
     assert any(abs((r.pos - 1) - src) <= 50 and r.gt == "1|1"
                for r in dups), [(r.pos, r.svlen, r.gt) for r in dups]
+
+
+def test_pairing_different_nearby_svs_stay_het():
+    """svim-asm pairing parity (SVIM_COMBINE.py:16-140): hp1 and hp2
+    carrying DIFFERENT nearby INVs/DUPs must genotype as two hets, not
+    merge into one 1|1; identical ones pair to 1|1."""
+    from volcanosv_tpu.vc.complex_sv import (Candidate, call_inversions,
+                                             pair_candidates_by_sequence)
+    rng = np.random.default_rng(9)
+    ref = random_genome(rng, 30_000)
+    cfg = PipelineConfig.for_dtype("Hifi").complex_sv
+
+    # identical INV on both haps → one cluster → 1|1
+    same = [Candidate("INV", "chr1", 10_000, 11_000, 1_000, 1, "hp1ctg"),
+            Candidate("INV", "chr1", 10_000, 11_000, 1_000, 2, "hp2ctg")]
+    recs = call_inversions(same, cfg, None, ref)
+    assert len(recs) == 1 and recs[0].gt == "1|1", \
+        [(r.pos, r.gt) for r in recs]
+
+    # different INVs near each other (same 1000bp partition, ends far
+    # apart) → two het records
+    diff = [Candidate("INV", "chr1", 10_000, 10_700, 700, 1, "hp1ctg"),
+            Candidate("INV", "chr1", 10_400, 13_000, 2_600, 2, "hp2ctg")]
+    recs = call_inversions(diff, cfg, None, ref)
+    gts = sorted(r.gt for r in recs)
+    assert gts == ["0|1", "1|0"], [(r.pos, r.gt) for r in recs]
+
+    # DUPs: same span pairs, different extents don't
+    same_d = [Candidate("DUP", "chr1", 5_000, 6_000, 1_000, 1, "a"),
+              Candidate("DUP", "chr1", 5_000, 6_000, 1_000, 2, "b")]
+    cl = pair_candidates_by_sequence(same_d, ref, cfg)
+    assert len(cl) == 1 and {c.hap for c in cl[0]} == {1, 2}
+    diff_d = [Candidate("DUP", "chr1", 5_000, 6_000, 1_000, 1, "a"),
+              Candidate("DUP", "chr1", 5_100, 5_400, 300, 2, "b")]
+    cl = pair_candidates_by_sequence(diff_d, ref, cfg)
+    assert len(cl) == 2, [(c.pos, c.hap) for part in cl for c in part]
+
+
+def test_pairing_same_hap_never_pairs():
+    """Same-haplotype candidates have infinite pairing distance
+    (compute_distance, SVIM_COMBINE.py:40-41)."""
+    from volcanosv_tpu.vc.complex_sv import (Candidate,
+                                             pair_candidates_by_sequence)
+    rng = np.random.default_rng(10)
+    ref = random_genome(rng, 20_000)
+    cfg = PipelineConfig.for_dtype("Hifi").complex_sv
+    cands = [Candidate("INV", "chr1", 8_000, 9_000, 1_000, 1, "c1"),
+             Candidate("INV", "chr1", 8_500, 9_600, 1_100, 1, "c2")]
+    cl = pair_candidates_by_sequence(cands, ref, cfg)
+    assert len(cl) == 2

@@ -27,8 +27,10 @@ def test_dtype_configs_differ():
     assert clr.gt_correction.del_thresholds != hifi.gt_correction.del_thresholds
 
 
-@pytest.mark.parametrize("dtype,err", [("CLR", 0.02), ("ONT", 0.02)])
+@pytest.mark.parametrize("dtype,err", [("CLR", 0.08), ("ONT", 0.05)])
 def test_noisy_dtype_pipeline(tmp_path, dtype, err):
+    """Realistic platform error rates: CLR ~8-15%, ONT ~5% (the reference
+    assumes longshot + alignment-tolerant assemblers absorb this)."""
     sim_dir, out = str(tmp_path / "sim"), str(tmp_path / "out")
     assert main(["sim", "-o", sim_dir, "--length", "30000", "--n_del", "2",
                  "--n_ins", "2", "--coverage", "30", "--read_len", "5000",
@@ -43,3 +45,78 @@ def test_noisy_dtype_pipeline(tmp_path, dtype, err):
     _h, snps = read_vcf(os.path.join(out, "phased_snps.vcf"))
     # noisy reads must not flood the SNP caller (af/depth bands hold)
     assert len(snps) < 1500, len(snps)
+
+
+def test_clr_noisy_contig_filter():
+    """CLR cigar-path gate (extract_contig_signature_CLR.py:53-71):
+    a contig alignment whose inserted fraction > 0.13 AND mean match-run
+    < 200 contributes no cigar signatures; clean contigs always do."""
+    import numpy as np
+
+    from volcanosv_tpu.io.bam import BamRecord
+    from volcanosv_tpu.vc.signatures import extract_contig_signatures
+
+    cfg = PipelineConfig.for_dtype("CLR").signature
+    assert cfg.noisy_contig_filter
+    M, I, D = 0, 1, 2
+    # noisy: 60bp DEL surrounded by short match runs riddled with inserts
+    noisy_ops = []
+    for _ in range(20):
+        noisy_ops += [[M, 100], [I, 40]]
+    noisy_ops += [[D, 60]] + [[M, 100], [I, 40]] * 20
+    noisy = BamRecord(name="PS1_hp1_noisy", pos=1000, mapq=60,
+                      cigar=np.array(noisy_ops, np.int64),
+                      seq="A" * (40 * 140 + 1))
+    sigs = extract_contig_signatures([noisy], "chr1", "hp1", cfg)
+    assert sigs == []
+
+    # clean contig with the same DEL: ins_pct ~0 → signature survives
+    clean = BamRecord(name="PS1_hp1_clean", pos=1000, mapq=60,
+                      cigar=np.array([[M, 2000], [D, 60], [M, 2000]],
+                                     np.int64),
+                      seq="A" * 4000)
+    sigs = extract_contig_signatures([clean], "chr1", "hp1", cfg)
+    assert len(sigs) == 1 and sigs[0].svtype == "DEL" and sigs[0].svlen == 60
+    # Hifi mode has no gate: the noisy contig's DEL is kept
+    hifi_cfg = PipelineConfig.for_dtype("Hifi").signature
+    sigs = extract_contig_signatures([noisy], "chr1", "hp1", hifi_cfg)
+    assert any(s.svtype == "DEL" for s in sigs)
+
+
+def test_ont_split_ins_branch():
+    """ONT split-INS is restricted to Diffdis*0.8 ≤ Diffolp ≤ |Diffdis|*0.5
+    (extract_contig_signature_ONT.py:373-380): a negative overlap beyond
+    -0.5|D| that the generic rule rejects is admitted down to 0.8·Diffdis."""
+    import numpy as np
+
+    from volcanosv_tpu.io.bam import BamRecord
+    from volcanosv_tpu.vc.signatures import split_sigs
+
+    ont = PipelineConfig.for_dtype("ONT").signature
+    M, S = 0, 4
+    # two segments of one 4000bp query; ref gap 100, read gap 700
+    # → Diffdis = -600; Diffolp = ref1e - ref2s = -100
+    # generic CLR r=0.3: |−100| ≤ 180 ✓; ONT: −480 ≤ −100 ≤ 300 ✓
+    r1 = BamRecord(name="q", pos=1000, mapq=60,
+                   cigar=np.array([[M, 1000], [S, 3000]], np.int64))
+    r2 = BamRecord(name="q", pos=2100, mapq=60,
+                   cigar=np.array([[S, 1700], [M, 2300]], np.int64))
+    _d, ins = split_sigs(r1, r2, "chr1", ont, 20,
+                         rel_overlap=ont.split_rel_overlap)
+    assert len(ins) == 1 and ins[0].svtype == "INS"
+
+    # Diffolp below 0.8·Diffdis → ONT rejects, CLR-style generic accepts
+    # ref gap 550, read gap 100 → Diffdis = +450... need INS: make read gap
+    # large: ref1e=2000, ref2s=1500 → Diffolp=500; read gap -... construct:
+    # Diffdis = (1500-2000) - (1700-1000) = -1200; Diffolp = 500
+    # ONT: −960 ≤ 500 ≤ 600 ✓ — instead probe the LOWER bound:
+    # Diffolp = −700 < 0.8·(−800) = −640 → ONT rejects
+    r3 = BamRecord(name="q", pos=1000, mapq=60,
+                   cigar=np.array([[M, 1000], [S, 3000]], np.int64))
+    # want ref2s - ref1e = 700 (Diffolp = -700), Diffdis = -800
+    # Diffdis = 700 - read_gap → read_gap = 1500 → read2s = 2500
+    r4 = BamRecord(name="q", pos=2700, mapq=60,
+                   cigar=np.array([[S, 2500], [M, 1500]], np.int64))
+    _d, ins_ont = split_sigs(r3, r4, "chr1", ont, 20,
+                             rel_overlap=ont.split_rel_overlap)
+    assert ins_ont == []

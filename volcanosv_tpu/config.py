@@ -94,6 +94,15 @@ class SignatureConfig:
     merge_size_boundary: int = 250
     split_overlap_tol: int = 3_000   # split-pair read-overlap tolerance (Hifi)
     split_rel_overlap: float = 0.0   # CLR=0.3 / ONT=0.5 relative overlap criterion
+    # ONT-only split-INS branch: Diffdis*0.8 ≤ Diffolp ≤ |Diffdis|*r
+    # (extract_contig_signature_ONT.py:373-380)
+    split_ins_ont: bool = False
+    # CLR noisy-contig gate for the cigar path: keep a contig only when
+    # ins_pct ≤ 0.13 OR mean match-run length ≥ 200
+    # (extract_contig_signature_CLR.py:53-71, applied :425-427)
+    noisy_contig_filter: bool = False
+    noisy_max_ins_pct: float = 0.13
+    noisy_min_var_dist: float = 200.0
     min_mapq: int = 20
     # clustering (cluster_del/cluster_ins :196-288)
     max_shift: int = 100
@@ -232,6 +241,13 @@ class ComplexSVConfig:
     dup_max_shift: int = 300
     dup_max_shift_ratio: float = 0.3
     dup_int_dest_tol: int = 20       # is_similar(), SVIM_inter.py:12-16
+    # hap pairing by reconstructed-haplotype edit distance
+    # (SVIM_COMBINE.py:15-140 + SVIM_input_parsing.py:219-230)
+    partition_max_distance: int = 1_000
+    pair_max_edit_distance: int = 200
+    pair_max_partition: int = 10     # larger partitions dropped (:128-130)
+    bnd_pair_threshold: float = 0.3  # span-position distance cut (:142-160)
+    bnd_pair_norm: int = 3_000       # (d1+d2)/norm (:108-121)
     tra_cluster_dist: int = 100
     inv_merge_dist: int = 500
     inv_support_flank: int = 1_000
@@ -242,7 +258,13 @@ class ComplexSVConfig:
 class PhasingConfig:
     """SNP calling + read-backed phasing (replaces longshot).
 
-    ref invocation: volcanosv-asm.py:75-80 (longshot -F)."""
+    ref invocation: volcanosv-asm.py:75-80 (longshot -F).
+
+    error_rate enables the genotype-likelihood candidate model (binomial
+    hom-ref/het/hom-alt, SNP qual gated at min_snp_qual — longshot's
+    likelihood role); None falls back to the plain allele-fraction band
+    (used by the assembler's consensus pileup).  for_dtype selects the
+    per-platform rate below."""
     min_snp_qual: float = 20.0
     min_base_qual: int = 7
     min_mapq: int = 20
@@ -250,10 +272,24 @@ class PhasingConfig:
     max_allele_frac: float = 0.8
     min_depth: int = 6
     max_depth: int = 400
+    error_rate: float | None = None  # active model; set per dtype
     error_rate_hifi: float = 0.002
     error_rate_clr: float = 0.10
     error_rate_ont: float = 0.05
     max_phase_iter: int = 30
+
+    @staticmethod
+    def for_dtype(dtype: "DataType | str") -> "PhasingConfig":
+        base = PhasingConfig()
+        rate = {DataType.HIFI: base.error_rate_hifi,
+                DataType.CLR: base.error_rate_clr,
+                DataType.ONT: base.error_rate_ont}[DataType(dtype)]
+        # CLR/ONT: a 0.2 af band would drown in noise — let the likelihood
+        # gate decide from a lower enumeration floor
+        af = base.min_allele_frac if DataType(dtype) == DataType.HIFI \
+            else 0.15
+        return dataclasses.replace(base, error_rate=rate,
+                                   min_allele_frac=af)
 
 
 @dataclass(frozen=True)
@@ -325,19 +361,25 @@ class PipelineConfig:
         dtype = DataType(dtype)
         base = PipelineConfig(
             dtype=dtype, gt_correction=GTCorrectionConfig.for_dtype(dtype),
-            cov_filter=CovFilterConfig.for_mode(dtype, asm))
+            cov_filter=CovFilterConfig.for_mode(dtype, asm),
+            phasing=PhasingConfig.for_dtype(dtype))
         if dtype == DataType.HIFI:
             return base
         if dtype == DataType.CLR:
-            # CLR: rel-overlap split criterion r=0.3 (extract_contig_signature_CLR.py:368-399)
+            # CLR: rel-overlap split criterion r=0.3 + noisy-contig gate
+            # (extract_contig_signature_CLR.py:368-399, :53-71)
             return dataclasses.replace(
                 base,
-                signature=dataclasses.replace(base.signature, split_rel_overlap=0.3),
+                signature=dataclasses.replace(
+                    base.signature, split_rel_overlap=0.3,
+                    noisy_contig_filter=True),
                 assembly=dataclasses.replace(base.assembly, dedup_reads=True),
             )
-        # ONT: r=0.5 (extract_contig_signature_ONT.py:348-380)
+        # ONT: r=0.5, INS-from-split restricted to the Diffdis*0.8 branch
+        # (extract_contig_signature_ONT.py:348-380)
         return dataclasses.replace(
             base,
-            signature=dataclasses.replace(base.signature, split_rel_overlap=0.5),
+            signature=dataclasses.replace(
+                base.signature, split_rel_overlap=0.5, split_ins_ont=True),
             assembly=dataclasses.replace(base.assembly, dedup_reads=True),
         )

@@ -3,9 +3,15 @@
 Replaces the variant-calling half of longshot (volcanosv-asm.py:75-80): a
 vectorized mismatch pileup instead of pair-HMM realignment — mismatch
 observations are collected per alignment in O(aligned bases) numpy, then
-het-SNP candidates are selected by allele-fraction/depth bands
-(PhasingConfig).  The per-read allele observations feed the MEC phaser
-(phase.py) whose iterations run on device.
+candidates are selected by a per-dtype genotype-likelihood model
+(PhasingConfig.error_rate: binomial hom-ref / het / hom-alt likelihoods,
+SNP qual = -10·log10 P(hom-ref | data) gated at min_snp_qual — longshot's
+role at CLR/ONT error rates, where a plain allele-fraction band would
+drown in noise).  Bases below min_base_qual are excluded when base
+qualities are present.  With error_rate=None the legacy allele-fraction
+band applies (the assembler's consensus pileup uses that mode).  The
+per-read allele observations feed the MEC phaser (phase.py) whose
+iterations run on device.
 """
 from __future__ import annotations
 
@@ -77,6 +83,10 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         ref_idx, read_idx = ref_idx[ok], read_idx[ok]
         codes = encode_seq(rec.seq)
         rb = codes[read_idx]
+        if rec.qual is not None and len(rec.qual) == len(rec.seq):
+            # mask low-quality bases (longshot --min_base_qual role)
+            q = np.asarray(rec.qual)[read_idx]
+            rb = np.where(q >= cfg.min_base_qual, rb, np.int8(5))
         pairs.append((ref_idx, rb, len(names)))
         names.append(rec.name)
         cov[rec.pos] += 1
@@ -111,7 +121,26 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
            (af >= cfg.min_allele_frac)
     cand_pos, cand_alt, cand_cnt = cand_pos[keep], cand_alt[keep], cand_cnt[keep]
     depth, af = depth[keep], af[keep]
-    is_het = af <= cfg.max_allele_frac
+    if cfg.error_rate is not None and len(cand_pos):
+        # genotype likelihoods (binomial, flat prior): hom-ref sees the alt
+        # only via error (e/3 to a specific base), het at ~0.5, hom-alt
+        # symmetric; qual = -10·log10 P(hom-ref | data) ≥ min_snp_qual
+        e3 = max(cfg.error_rate / 3, 1e-6)
+        n = depth.astype(np.float64)
+        k = cand_cnt.astype(np.float64)
+        ll_rr = k * np.log(e3) + (n - k) * np.log1p(-e3)
+        ll_aa = (n - k) * np.log(e3) + k * np.log1p(-e3)
+        ll_ra = n * np.log(0.5)
+        mx = np.maximum(np.maximum(ll_rr, ll_aa), ll_ra)
+        p_rr = np.exp(ll_rr - mx)
+        tot = p_rr + np.exp(ll_aa - mx) + np.exp(ll_ra - mx)
+        qual = -10.0 * np.log10(np.maximum(p_rr / tot, 1e-300))
+        keep2 = qual >= cfg.min_snp_qual
+        is_het = (ll_ra >= ll_aa)[keep2]
+        cand_pos, cand_alt = cand_pos[keep2], cand_alt[keep2]
+        cand_cnt, depth = cand_cnt[keep2], depth[keep2]
+    else:
+        is_het = af <= cfg.max_allele_frac
     if len(cand_pos) == 0:
         z8, z32 = np.zeros(0, np.int8), np.zeros(0, np.int32)
         return PileupResult(cand_pos.astype(np.int64), z8, z8, z32, z32,

@@ -20,7 +20,9 @@ import numpy as np
 from ..config import ComplexSVConfig, PipelineConfig
 from ..io.bam import BamRecord
 from ..io.vcf import VcfRecord
+from ..ops.pack import revcomp_seq
 from ..utils.logging import get_logger
+from .redundancy import edit_distance_pairs
 
 log = get_logger("complex_sv")
 
@@ -209,6 +211,154 @@ def _interspersed_dups(juncs: list, hap: int, qname: str,
 
 
 # ---------------------------------------------------------------------------
+# haplotype pairing by reconstructed-sequence distance (SVIM_COMBINE.py)
+# ---------------------------------------------------------------------------
+
+def _form_partitions(cands: list[Candidate], max_distance: int
+                     ) -> list[list[Candidate]]:
+    """Coarse partitions of pos-sorted same-type candidates: a gap >
+    max_distance (or a chrom change) starts a new partition
+    (form_partitions, SVIM_COMBINE.py:15-31)."""
+    out: list[list[Candidate]] = []
+    for c in sorted(cands, key=lambda c: (c.chrom, c.pos)):
+        if (out and out[-1][-1].chrom == c.chrom
+                and abs(c.pos - out[-1][-1].pos) <= max_distance):
+            out[-1].append(c)
+        else:
+            out.append([c])
+    return out
+
+
+def _reconstruct_hap(c: Candidate, ref_seq: str, lo: int, hi: int) -> str:
+    """The candidate's local haplotype sequence over window [lo, hi)
+    (compute_distance, SVIM_COMBINE.py:34-105): flanks from the reference,
+    the variant region inverted (INV) or doubled (tandem DUP)."""
+    left = ref_seq[lo:c.pos]
+    right = ref_seq[c.end:hi]
+    body = ref_seq[c.pos:c.end]
+    if c.svtype == "INV":
+        return left + revcomp_seq(body) + right
+    return left + body * 2 + right            # DUP (one extra copy)
+
+
+def _complete_linkage(dist: np.ndarray, threshold: float) -> list[list[int]]:
+    """Agglomerative complete-linkage clusters cut at `threshold`
+    (scipy linkage(method='complete') + fcluster equivalent; partitions are
+    ≤ pair_max_partition members so O(n³) host code is fine)."""
+    n = dist.shape[0]
+    clusters = [[i] for i in range(n)]
+    while len(clusters) > 1:
+        best = None
+        for a in range(len(clusters)):
+            for b in range(a + 1, len(clusters)):
+                d = max(dist[i, j] for i in clusters[a] for j in clusters[b])
+                if d <= threshold and (best is None or d < best[0]):
+                    best = (d, a, b)
+        if best is None:
+            break
+        _, a, b = best
+        clusters[a] = clusters[a] + clusters[b]
+        del clusters[b]
+    return clusters
+
+
+def pair_candidates_by_sequence(
+    cands: list[Candidate], ref_seqs: dict[str, str], cfg: ComplexSVConfig,
+) -> list[list[Candidate]]:
+    """svim-asm diploid pairing for INV/DUP: partition → pairwise edit
+    distance of reconstructed haplotype sequences (same-hap pairs never
+    cluster) → complete-linkage cut at pair_max_edit_distance
+    (pair_haplotypes, SVIM_COMBINE.py:124-140).  The edlib distance matrix
+    is one batched banded-DP launch over all partitions' pairs."""
+    parts = [p for p in _form_partitions(cands, cfg.partition_max_distance)]
+    # gather every within-partition cross-hap pair for one device batch
+    pair_idx: list[tuple[int, int, int]] = []     # (part, i, j)
+    seq_pairs: list[tuple[str, str]] = []
+    spans: list[tuple[int, int]] = []
+    for pi, part in enumerate(parts):
+        if not (2 <= len(part) <= cfg.pair_max_partition):
+            continue
+        ref_seq = ref_seqs.get(part[0].chrom, "")
+        lo = max(0, min(c.pos for c in part) - 100)
+        hi = min(len(ref_seq), max(c.end for c in part) + 100)
+        spans.append((lo, hi))
+        for i in range(len(part) - 1):
+            for j in range(i + 1, len(part)):
+                if part[i].hap == part[j].hap:
+                    continue                       # ∞ distance, never pairs
+                pair_idx.append((pi, i, j))
+                seq_pairs.append((
+                    _reconstruct_hap(part[i], ref_seq, lo, hi),
+                    _reconstruct_hap(part[j], ref_seq, lo, hi)))
+    dists = edit_distance_pairs(seq_pairs,
+                                clip_to=cfg.pair_max_edit_distance) \
+        if seq_pairs else np.zeros(0, np.int64)
+    by_part: dict[int, dict[tuple[int, int], float]] = {}
+    for (pi, i, j), d in zip(pair_idx, dists):
+        by_part.setdefault(pi, {})[(i, j)] = float(d)
+
+    clusters: list[list[Candidate]] = []
+    for pi, part in enumerate(parts):
+        if len(part) == 1:
+            clusters.append(part)
+            continue
+        if len(part) > cfg.pair_max_partition:
+            log.info("dropped pairing partition of %d %s candidates at "
+                     "%s:%d (difficult region, SVIM_COMBINE.py:128-130)",
+                     len(part), part[0].svtype, part[0].chrom, part[0].pos)
+            continue
+        n = len(part)
+        INF = 1e9
+        dm = np.full((n, n), INF)
+        np.fill_diagonal(dm, 0.0)
+        for (i, j), d in by_part.get(pi, {}).items():
+            dm[i, j] = dm[j, i] = d
+        for idxs in _complete_linkage(dm, cfg.pair_max_edit_distance):
+            clusters.append([part[k] for k in idxs])
+    return clusters
+
+
+def pair_breakends(cands: list[Candidate], cfg: ComplexSVConfig
+                   ) -> list[list[Candidate]]:
+    """BND pairing by span-position distance: same orientations, different
+    haps, (|Δpos1| + |Δpos2|)/bnd_pair_norm ≤ bnd_pair_threshold
+    (span_position_distance_breakends + pair_haplotypes_breakends,
+    SVIM_COMBINE.py:108-160)."""
+    def key(c: Candidate):
+        return (c.chrom, c.chrom2, c.pos)
+    parts = []
+    for c in sorted(cands, key=key):
+        if (parts and parts[-1][-1].chrom == c.chrom
+                and parts[-1][-1].chrom2 == c.chrom2
+                and abs(c.pos - parts[-1][-1].pos)
+                <= cfg.partition_max_distance):
+            parts[-1].append(c)
+        else:
+            parts.append([c])
+    clusters: list[list[Candidate]] = []
+    for part in parts:
+        if len(part) == 1 or len(part) > cfg.pair_max_partition:
+            if len(part) == 1:
+                clusters.append(part)
+            else:
+                clusters.extend([c] for c in part)
+            continue
+        n = len(part)
+        dm = np.full((n, n), 1e9)
+        np.fill_diagonal(dm, 0.0)
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                a, b = part[i], part[j]
+                if a.hap == b.hap or a.orient != b.orient:
+                    continue
+                dm[i, j] = dm[j, i] = (abs(a.pos - b.pos)
+                                       + abs(a.end - b.end)) / cfg.bnd_pair_norm
+        for idxs in _complete_linkage(dm, cfg.bnd_pair_threshold):
+            clusters.append([part[k] for k in idxs])
+    return clusters
+
+
+# ---------------------------------------------------------------------------
 # DUP recovery from INS calls (align_ins2ref.py)
 # ---------------------------------------------------------------------------
 
@@ -307,16 +457,60 @@ def inv_read_support(chrom_reads: list[BamRecord], pos: int, end: int,
     return min(sup)
 
 
+def _dedup_same_hap(cands: list[Candidate], tol: int = 100
+                    ) -> list[Candidate]:
+    """Overlapping contigs of ONE haplotype duplicate a candidate with
+    small coordinate jitter; keep the longest per (hap, ~span) run — the
+    per-hap role the contig-signature clustering plays in the large-indel
+    path (cluster_del, extract_contig_signature_Hifi.py:196-249).  Cross-hap
+    merging is pairing's job, never done here."""
+    out: list[Candidate] = []
+    for c in sorted(cands, key=lambda c: (c.hap, c.chrom, c.chrom2, c.pos)):
+        if (out and out[-1].hap == c.hap and out[-1].chrom == c.chrom
+                and out[-1].chrom2 == c.chrom2
+                and out[-1].orient == c.orient
+                and abs(out[-1].pos - c.pos) <= tol
+                and abs(out[-1].end - c.end) <= tol):
+            if c.svlen > out[-1].svlen:
+                out[-1] = c
+        else:
+            out.append(c)
+    return out
+
+
+def _gt_of(haps: set) -> str:
+    return "1|1" if haps == {1, 2} else ("1|0" if haps == {1} else "0|1")
+
+
 def call_inversions(cands: list[Candidate], cfg: ComplexSVConfig,
                     reads_by_chrom: dict[str, list[BamRecord]] | None,
                     ref_seqs: dict[str, str]) -> list[VcfRecord]:
-    groups = _merge_candidates_by_span(
-        [c for c in cands if c.svtype == "INV"], cfg.inv_merge_dist)
+    """svim-asm sequence pairing (GT) → filter_inv merge + read support.
+
+    Two *different* INVs on hp1/hp2 stay two het clusters (edit distance >
+    pair_max_edit_distance); identical ones pair to one 1|1 cluster
+    (SVIM_COMBINE.py pair_haplotypes + :208-240).  Clusters are then
+    span-merged ≤ inv_merge_dist at both ends with a per-hap GT OR vote
+    (merge_inv/get_gt_votes, filter_inv.py:57-96)."""
+    inv = _dedup_same_hap([c for c in cands if c.svtype == "INV"])
+    clusters = pair_candidates_by_sequence(inv, ref_seqs, cfg)
+    reps = [(max(cl, key=lambda c: c.svlen), {c.hap for c in cl})
+            for cl in clusters]
+    reps.sort(key=lambda rh: (rh[0].chrom, rh[0].pos))
+    groups: list[list[tuple[Candidate, set]]] = []
+    for rep, haps in reps:
+        g0 = groups[-1][0][0] if groups else None
+        if (g0 is not None and g0.chrom == rep.chrom
+                and abs(g0.pos - rep.pos) <= cfg.inv_merge_dist
+                and abs(g0.end - rep.end) <= cfg.inv_merge_dist):
+            groups[-1].append((rep, haps))
+        else:
+            groups.append([(rep, haps)])
     out = []
     n = 0
     for g in groups:
-        haps = {c.hap for c in g}
-        best = max(g, key=lambda c: c.svlen)
+        haps = set().union(*(h for _, h in g))
+        best = max((r for r, _ in g), key=lambda c: c.svlen)
         if reads_by_chrom is not None:
             support = inv_read_support(
                 reads_by_chrom.get(best.chrom, []), best.pos, best.end,
@@ -324,13 +518,12 @@ def call_inversions(cands: list[Candidate], cfg: ComplexSVConfig,
             if support < cfg.inv_min_support:
                 continue
         n += 1
-        gt = "1|1" if haps == {1, 2} else ("1|0" if haps == {1} else "0|1")
         ref_base = ref_seqs.get(best.chrom, "N")[best.pos] \
             if best.pos < len(ref_seqs.get(best.chrom, "")) else "N"
         out.append(VcfRecord(
             chrom=best.chrom, pos=best.pos + 1,
             id=f"{best.chrom}-INV-{n}", ref=ref_base, alt="<INV>",
-            qual="30", gt=gt,
+            qual="30", gt=_gt_of(haps),
             info={"SVTYPE": "INV", "SVLEN": best.svlen,
                   "END": best.end, "READS": best.qname}))
     return out
@@ -340,39 +533,66 @@ def call_inversions(cands: list[Candidate], cfg: ComplexSVConfig,
 # TRA/BND clustering (filter_tra.py)
 # ---------------------------------------------------------------------------
 
+# VCF BND mate bracket orientation: t[p[ ↔ ]p]t, t]p] ↔ t]p],
+# ]p]t ↔ t[p[, [p[t ↔ [p[t
+_MATE_ORIENT = {"N[": "]N", "]N": "N[", "N]": "N]", "[N": "[N"}
+
+
+def _bnd_alt(orient: str, chrom: str, pos1: int) -> str:
+    mate = f"{chrom}:{pos1}"
+    return {"N[": f"N[{mate}[", "N]": f"N]{mate}]",
+            "]N": f"]{mate}]N", "[N": f"[{mate}[N"}[orient]
+
+
 def call_translocations(cands: list[Candidate], cfg: ComplexSVConfig
                         ) -> list[VcfRecord]:
-    """Single-linkage clustering of breakend pairs within tra_cluster_dist
-    (cluster_bnd, filter_tra.py:70-88); duplicates collapse with GT from
-    contributing haps (merge_bnd :95-116)."""
-    bnds = [c for c in cands if c.svtype == "BND"]
-    groups: list[list[Candidate]] = []
-    for c in sorted(bnds, key=lambda c: (c.chrom, c.chrom2, c.pos)):
+    """svim span-position BND pairing (GT) → filter_tra clustering.
+
+    Pairing: cross-hap, same-orientation breakend pairs within
+    (|Δpos1|+|Δpos2|)/3000 ≤ 0.3 form one genotyped candidate
+    (SVIM_COMBINE.py:108-160).  Then single-linkage clustering within
+    tra_cluster_dist collapses duplicates with a GT union
+    (cluster_bnd/merge_bnd, filter_tra.py:70-116).  Each breakend emits
+    BOTH mates as reciprocal records linked by MATEID (VCF BND
+    semantics, svim-asm output contract)."""
+    bnds = _dedup_same_hap([c for c in cands if c.svtype == "BND"])
+    reps = [(cl[0], {c.hap for c in cl}) for cl in pair_breakends(bnds, cfg)]
+    groups: list[list[tuple[Candidate, set]]] = []
+    for c, haps in sorted(reps, key=lambda rh: (rh[0].chrom, rh[0].chrom2,
+                                                rh[0].pos)):
         placed = False
         for g in groups:
-            ref = g[0]
+            ref = g[0][0]
             if (ref.chrom == c.chrom and ref.chrom2 == c.chrom2
                     and ref.orient == c.orient
                     and abs(ref.pos - c.pos) <= cfg.tra_cluster_dist
                     and abs(ref.end - c.end) <= cfg.tra_cluster_dist):
-                g.append(c)
+                g.append((c, haps))
                 placed = True
                 break
         if not placed:
-            groups.append([c])
+            groups.append([(c, haps)])
     out = []
     for n, g in enumerate(groups, 1):
-        best = g[0]
-        haps = {c.hap for c in g}
-        gt = "1|1" if haps == {1, 2} else ("1|0" if haps == {1} else "0|1")
-        mate = f"{best.chrom2}:{best.end + 1}"
-        alt = {"N[": f"N[{mate}[", "N]": f"N]{mate}]",
-               "]N": f"]{mate}]N", "[N": f"[{mate}[N"}[best.orient]
+        best = g[0][0]
+        gt = _gt_of(set().union(*(h for _, h in g)))
+        id1 = f"{best.chrom}-TRA-{n}-1"
+        id2 = f"{best.chrom}-TRA-{n}-2"
         out.append(VcfRecord(
-            chrom=best.chrom, pos=best.pos + 1,
-            id=f"{best.chrom}-TRA-{n}", ref="N", alt=alt, qual="30", gt=gt,
+            chrom=best.chrom, pos=best.pos + 1, id=id1, ref="N",
+            alt=_bnd_alt(best.orient, best.chrom2, best.end + 1),
+            qual="30", gt=gt,
             info={"SVTYPE": "BND", "CHR2": best.chrom2,
-                  "END": best.end + 1, "READS": best.qname}))
+                  "END": best.end + 1, "MATEID": id2,
+                  "READS": best.qname}))
+        out.append(VcfRecord(
+            chrom=best.chrom2, pos=best.end + 1, id=id2, ref="N",
+            alt=_bnd_alt(_MATE_ORIENT[best.orient], best.chrom,
+                         best.pos + 1),
+            qual="30", gt=gt,
+            info={"SVTYPE": "BND", "CHR2": best.chrom,
+                  "END": best.pos + 1, "MATEID": id1,
+                  "READS": best.qname}))
     return out
 
 
@@ -395,17 +615,18 @@ def call_complex_svs(
     out: list[VcfRecord] = []
     out += call_inversions(cands, csv, reads_by_chrom, ref_seqs)
     out += call_translocations(cands, csv)
-    # direct tandem-DUP candidates from segment back-jumps
+    # direct tandem-DUP candidates from segment back-jumps, genotyped by
+    # sequence pairing (svim-asm emits one record per cluster; two nearby
+    # DUPs with different copies/extents stay two hets)
     n = 0
-    for g in _merge_candidates_by_span(
-            [c for c in cands if c.svtype == "DUP"], csv.inv_merge_dist):
-        haps = {c.hap for c in g}
-        best = max(g, key=lambda c: c.svlen)
+    dups = _dedup_same_hap([c for c in cands if c.svtype == "DUP"])
+    for cl in pair_candidates_by_sequence(dups, ref_seqs, csv):
+        haps = {c.hap for c in cl}
+        best = max(cl, key=lambda c: c.svlen)
         n += 1
-        gt = "1|1" if haps == {1, 2} else ("1|0" if haps == {1} else "0|1")
         out.append(VcfRecord(
             chrom=best.chrom, pos=best.pos + 1, id=f"{best.chrom}-DUPSEG-{n}",
-            ref="N", alt="<DUP>", qual="30", gt=gt,
+            ref="N", alt="<DUP>", qual="30", gt=_gt_of(haps),
             info={"SVTYPE": "DUP", "SVLEN": best.svlen, "END": best.end,
                   "READS": best.qname}))
     if ins_records:

@@ -42,6 +42,35 @@ def _pow2ceil(n: int) -> int:
     return p
 
 
+def edit_distance_pairs(seq_pairs: list[tuple[str, str]],
+                        clip_to: int | None = None) -> np.ndarray:
+    """Raw edit distance per pair, batched on device (edlib align()
+    equivalent).  Banding restricts paths, so the result can only
+    OVER-estimate the true distance; with clip_to set, the band is sized so
+    any true distance ≤ clip_to is exact — thresholding `dist ≤ clip_to`
+    is therefore exact, and larger distances stay conservatively large."""
+    if not seq_pairs:
+        return np.zeros(0, np.int64)
+    out = np.zeros(len(seq_pairs), np.int64)
+    buckets: dict[int, list[int]] = {}
+    for i, (a, b) in enumerate(seq_pairs):
+        m = max(len(a), len(b), 1)
+        buckets.setdefault(min(_pow2ceil(m), 16384), []).append(i)
+    for L, idxs in buckets.items():
+        qs = [encode_seq(seq_pairs[i][0]) for i in idxs]
+        ts = [encode_seq(seq_pairs[i][1]) for i in idxs]
+        q, qlen = pad_codes(qs, pad_to=L)
+        t, tlen = pad_codes(ts, pad_to=L)
+        q, t, qlen_p, tlen_p, B = pad_batch_pow2(q, t, qlen, tlen)
+        W = min(max(128, _pow2ceil(L // 2 + 64)), 4096)
+        if clip_to is not None:
+            W = min(max(128, _pow2ceil(2 * clip_to + 64)), W)
+        dist = np.asarray(
+            edit_distance_batch_auto(q, t, qlen_p, tlen_p, W=W))[:B]
+        out[idxs] = dist
+    return out
+
+
 def edit_sim_batch(seq_pairs: list[tuple[str, str]]) -> np.ndarray:
     """(len1+len2-ed)/(len1+len2) per pair, batched on device.
 

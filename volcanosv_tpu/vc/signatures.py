@@ -191,8 +191,14 @@ def split_sigs(rec1: BamRecord, rec2: BamRecord, chrom: str,
                               "split-alignment", mq)], []
     elif diffdis <= -cfg.min_sv_size:
         diffolp = ref1e - ref2s
-        ok = (abs(diffolp) <= rel_overlap * abs(diffdis)) if rel_overlap > 0 \
-            else (diffolp < tol)
+        if cfg.split_ins_ont:
+            # ONT branch: Diffdis*0.8 ≤ Diffolp ≤ |Diffdis|*r
+            # (extract_contig_signature_ONT.py:373-380)
+            ok = diffdis * 0.8 <= diffolp <= rel_overlap * abs(diffdis)
+        elif rel_overlap > 0:
+            ok = abs(diffolp) <= rel_overlap * abs(diffdis)
+        else:
+            ok = diffolp < tol
         if ok:
             svlen = abs(read2s - read1e + diffolp)
             pos = (ref1e + ref2s) // 2 if abs(diffolp) > 400 else ref2s
@@ -244,6 +250,23 @@ def cluster_sigs(sigs: list[Signature], cfg: SignatureConfig) -> list[Signature]
     return out
 
 
+def _is_noisy_contig(cigar: np.ndarray, cfg: SignatureConfig) -> bool:
+    """CLR gate: a contig alignment is noise unless its inserted fraction
+    is small OR its mean match-run length is large (ins_pct/var_dist,
+    extract_contig_signature_CLR.py:53-71; keep when ip ≤ 0.13 or
+    avg ≥ 200, applied :425-427)."""
+    ops, lens = cigar[:, 0], cigar[:, 1].astype(np.int64)
+    m_lens = lens[np.isin(ops, (_M, _EQ, _X))]
+    ins = int(lens[ops == _I].sum())
+    m_tot = int(m_lens.sum())
+    if m_tot + ins == 0:
+        return True
+    ins_pct = ins / (m_tot + ins)
+    avg_var_dist = m_tot / max(len(m_lens), 1)
+    return ins_pct > cfg.noisy_max_ins_pct \
+        and avg_var_dist < cfg.noisy_min_var_dist
+
+
 def extract_contig_signatures(
     records: list[BamRecord], chrom: str, hp: str, cfg: SignatureConfig,
 ) -> list[Signature]:
@@ -257,6 +280,9 @@ def extract_contig_signatures(
     dels_c, inss_c = [], []
     for r in recs:
         if r.mapq >= cfg.min_mapq:
+            if cfg.noisy_contig_filter and len(r.cigar) \
+                    and _is_noisy_contig(np.asarray(r.cigar), cfg):
+                continue
             d, i = cigar_sigs(r, chrom, cfg)
             dels_c.extend(d)
             inss_c.extend(i)
