@@ -15,7 +15,7 @@ def test_viterbi_recovers_collapsed_block():
     mult = np.array([0.05, 0.5, 1.0, 2.0])[truth]
     cov = rng.poisson(lam * mult).astype(float)[None, :]
     valid = np.ones_like(cov, bool)
-    hmm = CoverageHMM(lam=lam)
+    hmm = CoverageHMM.from_lambda(lam)
     states = hmm.viterbi(cov, valid)[0]
     assert (states == truth).mean() > 0.9, (states.tolist())
 
@@ -24,7 +24,7 @@ def test_posteriors_sum_to_one():
     rng = np.random.default_rng(1)
     cov = rng.poisson(15.0, (2, 30)).astype(float)
     valid = np.ones_like(cov, bool)
-    post = CoverageHMM(lam=15.0).posteriors(cov, valid)
+    post = CoverageHMM.from_lambda(15.0).posteriors(cov, valid)
     np.testing.assert_allclose(post.sum(-1), 1.0, atol=1e-4)
 
 
@@ -61,3 +61,67 @@ def test_coverage_windows_partial_tail():
     cov = contig_coverage_windows(reads, lens, ["c"], window=1_000)["c"]
     assert len(cov) == 3
     np.testing.assert_allclose(cov, [1, 1, 1])
+
+
+def test_em_fit_recovers_skewed_state_means():
+    """EM fit (hmm_flagger.c role): real collapsed regions sit below 2×λ
+    (mapping bias siphons reads away), so fixed multipliers put them on the
+    hap side of the decision boundary and the block is missed; the fitted
+    per-state means recover it."""
+    from volcanosv_tpu.qc.flagger import fit_coverage_hmm
+
+    rng = np.random.default_rng(3)
+    lam = 24.0
+    # hap 100 windows at λ | collapsed 60 at 1.4λ (skewed!) | err 20
+    truth = np.array([2] * 100 + [3] * 60 + [0] * 20)
+    mult = np.array([0.05, 0.5, 1.0, 1.4])[truth]
+    cov = rng.poisson(lam * mult).astype(float)[None, :]
+    valid = np.ones_like(cov, bool)
+
+    fixed = CoverageHMM.from_lambda(float(np.median(cov[cov > 0.5])))
+    fixed_col = (fixed.viterbi(cov, valid)[0][100:160] == 3).mean()
+
+    hmm = fit_coverage_hmm(cov, valid, QCConfig())
+    assert abs(hmm.lam - lam) / lam < 0.10, hmm.lam
+    em_col = (hmm.viterbi(cov, valid)[0][100:160] == 3).mean()
+    assert em_col >= 0.8, (em_col, fixed_col)
+    assert em_col > fixed_col          # the fit is what recovers the block
+
+
+def test_em_overdispersion_stops_false_collapsed_flags():
+    """Real coverage is overdispersed (var >> mean: GC/mapping bias).  The
+    fixed Poisson model flags noise excursions in haploid regions as
+    collapsed; the fitted dispersion index (τ) widens the states and
+    removes the false flags while the true 2× block still classifies."""
+    rng = np.random.default_rng(4)
+    lam, T = 30.0, 300
+    truth = np.array([2] * 200 + [3] * 60 + [2] * 40)
+    mult = np.array([0.05, 0.5, 1.0, 2.0])[truth]
+    # gamma-mixed Poisson: var = μ + μ²/6 (≈6 × Poisson at this depth)
+    g = rng.gamma(6.0, 1 / 6.0, T)
+    cov = rng.poisson(lam * mult * g).astype(float)[None, :]
+    valid = np.ones_like(cov, bool)
+
+    fixed = CoverageHMM.from_lambda(float(np.median(cov[cov > 0.5])))
+    fs = fixed.viterbi(cov, valid)[0]
+    assert (fs[:200] == 3).sum() >= 5          # fixed model false-flags
+
+    from volcanosv_tpu.qc.flagger import fit_coverage_hmm
+    hmm = fit_coverage_hmm(cov, valid, QCConfig())
+    assert hmm.tau > 2.0, hmm.tau
+    es = hmm.viterbi(cov, valid)[0]
+    assert (es[:200] == 3).sum() == 0, (es[:200] == 3).sum()
+    assert (es[200:260] == 3).mean() > 0.9     # true block still found
+    assert (es == truth).mean() > (fs == truth).mean()
+
+
+def test_n_states_ladder():
+    from volcanosv_tpu.qc.flagger import state_mults, state_names
+    assert len(state_mults(3)) == 3 and len(state_names(5)) == 5
+    import dataclasses
+    cfg = dataclasses.replace(QCConfig(), n_states=5)
+    rng = np.random.default_rng(5)
+    cov = rng.poisson(20.0, (1, 60)).astype(float)
+    from volcanosv_tpu.qc.flagger import fit_coverage_hmm
+    hmm = fit_coverage_hmm(cov, np.ones_like(cov, bool), cfg)
+    assert len(hmm.means) == 5

@@ -1,17 +1,30 @@
-"""Per-haplotype assembly farm.
+"""Per-haplotype assembly farm — batched across ALL phase-block haplotypes.
 
 ref: General_Assembly_Workflow.py run_assembly/run_assembly_one_folder —
 joblib fan-out of one assembler process per phase-block haplotype, contig
 renaming to <hap_name>_<n> (reformat_fasta :37-45), resumable via
 log.txt/fail_log.txt skip lists (:530-547), final concat (:565-566).
 
-Here: in-process farm over hap groups; failures (empty assemblies) are
-recorded and tolerated, like the reference's fail_log."""
+TPU-first batching (SURVEY.md §2.3 'pad/bucket phase blocks, vmap over
+blocks'): instead of one assembler invocation per hap group, the farm runs
+
+  1. ONE shared minimizer index + chain pass over the pooled reads of
+     every group (anchors masked to stay within a group),
+  2. per-group greedy layout on host (graphs are tiny),
+  3. ONE polish aligner launch per consensus round for ALL groups' drafts
+     (reads vote only on their own group's drafts),
+
+so device launches per chromosome are O(polish_rounds), not O(groups).
+Failures (empty assemblies / per-group exceptions) are recorded and
+tolerated, like the reference's fail_log."""
 from __future__ import annotations
 
-from ..config import AssemblyConfig
-from ..utils.logging import get_logger
-from .olc import assemble_block
+import numpy as np
+
+from ..config import AlignConfig, AssemblyConfig
+from ..utils.logging import get_logger, stage_timer
+from .olc import (_dedup_reads, _find_overlaps, _Overlap, layout_block,
+                  polish_grouped)
 
 log = get_logger("assembly_farm")
 
@@ -20,21 +33,68 @@ def run_assembly(groups: dict[str, list[str]], cfg: AssemblyConfig,
                  ) -> tuple[dict[str, str], list[str]]:
     """groups: hap_name → read seqs.  Returns (contigs {name: seq},
     failed hap names).  Contig naming: <hap_name>_<n>."""
-    contigs: dict[str, str] = {}
+    names = sorted(groups)
+    if not names:
+        return {}, []
+    reads_by_gi: dict[int, list[str]] = {}
+    pool: list[str] = []
+    group_of: list[int] = []
+    offsets: list[int] = []
+    for gi, name in enumerate(names):
+        seqs = groups[name]
+        if cfg.dedup_reads:
+            seqs = _dedup_reads(seqs)
+        reads_by_gi[gi] = seqs
+        offsets.append(len(pool))
+        pool.extend(seqs)
+        group_of.extend([gi] * len(seqs))
+
+    with stage_timer("farm_overlap", log):
+        overlaps = _find_overlaps(pool, cfg, AlignConfig.preset("ava"),
+                                  group_of=np.asarray(group_of, np.int64)) \
+            if len(pool) > 1 else []
+    ov_by_gi: dict[int, list[_Overlap]] = {}
+    for ov in overlaps:
+        gi = group_of[ov.a]
+        off = offsets[gi]
+        ov_by_gi.setdefault(gi, []).append(
+            _Overlap(ov.a - off, ov.b - off, ov.a_start, ov.a_end,
+                     ov.b_start, ov.b_end, ov.strand, ov.score))
+
+    drafts_by_gi: dict[int, list[str]] = {}
     failed: list[str] = []
-    for hap_name in sorted(groups):
-        seqs = groups[hap_name]
+    for gi, name in enumerate(names):
+        seqs = reads_by_gi[gi]
+        if len(seqs) < max(cfg.min_reads, 1):
+            failed.append(name)
+            continue
+        if len(seqs) == 1:
+            drafts_by_gi[gi] = [seqs[0]]
+            continue
         try:
-            res = assemble_block(seqs, cfg)
-        except Exception as e:          # tolerate per-hap failure
-            log.warning("assembly failed for %s: %s", hap_name, e)
-            failed.append(hap_name)
+            drafts = layout_block(seqs, ov_by_gi.get(gi, []), cfg)
+        except Exception as e:            # tolerate per-hap failure
+            log.warning("assembly failed for %s: %s", name, e)
+            failed.append(name)
             continue
-        if not res.contigs:
-            failed.append(hap_name)
+        if not drafts:
+            failed.append(name)
             continue
-        for n, seq in enumerate(res.contigs):
-            contigs[f"{hap_name}_{n}"] = seq
+        drafts_by_gi[gi] = drafts
+
+    if cfg.consensus_rounds > 0:
+        with stage_timer("farm_polish", log):
+            drafts_by_gi = polish_grouped(
+                drafts_by_gi, reads_by_gi, AlignConfig.preset("map-hifi"),
+                rounds=cfg.consensus_rounds)
+
+    contigs: dict[str, str] = {}
+    for gi, name in enumerate(names):
+        ds = drafts_by_gi.get(gi)
+        if not ds:
+            continue
+        for n, seq in enumerate(sorted(ds, key=len, reverse=True)):
+            contigs[f"{name}_{n}"] = seq
     log.info("assembled %d contigs from %d hap groups (%d failed)",
              len(contigs), len(groups), len(failed))
     return contigs, failed

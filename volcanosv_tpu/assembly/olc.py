@@ -72,11 +72,16 @@ def _emit_overlap(overlaps, qi, ti, la, lb, strand, score,
 
 
 def _find_overlaps(seqs: list[str], cfg: AssemblyConfig,
-                   acfg: AlignConfig) -> list[_Overlap]:
+                   acfg: AlignConfig,
+                   group_of: np.ndarray | None = None) -> list[_Overlap]:
     """All-vs-all dovetail overlaps via the shared minimizer+chain core.
 
     One native chain_segments call per query chains every (target, strand)
-    anchor segment at once (was one python chain_anchors call per pair)."""
+    anchor segment at once (was one python chain_anchors call per pair).
+
+    group_of: optional per-read group id — anchors to other groups are
+    masked out, so ONE shared index serves every phase-block haplotype of a
+    chromosome (the batched farm, replaces per-group index builds)."""
     from ..native import get_lib
     lib = get_lib()
     codes = [encode_seq(s) for s in seqs]
@@ -91,6 +96,8 @@ def _find_overlaps(seqs: list[str], cfg: AssemblyConfig,
         t_pos, q_pos, strand = index.anchors(pos, h, st)
         t_idx, t_local = index.global_to_local(t_pos)
         keep = t_idx != qi
+        if group_of is not None:
+            keep &= group_of[t_idx] == group_of[qi]
         if not keep.any():
             continue
         qlen = len(qc)
@@ -352,6 +359,72 @@ def polish(draft: str, read_seqs: list[str], acfg: AlignConfig,
     return polish_many([draft], read_seqs, acfg, rounds)[0]
 
 
+def polish_grouped(drafts_by_group: dict[int, list[str]],
+                   reads_by_group: dict[int, list[str]],
+                   acfg: AlignConfig, rounds: int = 1
+                   ) -> dict[int, list[str]]:
+    """Pileup-consensus polish of EVERY group's drafts in one aligner
+    launch per round — the batched farm's polish stage (one index over all
+    phase-block-haplotype drafts of a chromosome, one batched read
+    alignment; replaces one polish_many launch per hap group).  A read
+    votes only on drafts of its own group: cross-group (cross-haplotype)
+    best-hits are dropped so the earlier partition decision stands."""
+    from ..aligner import Aligner
+    live = {gi for gi, ds in drafts_by_group.items()
+            if ds and len(reads_by_group.get(gi, [])) >= 3}
+    if not live or rounds <= 0:
+        return drafts_by_group
+    queries = [(f"g{gi}|r{ri}", s)
+               for gi in sorted(live)
+               for ri, s in enumerate(reads_by_group[gi])]
+    seq_map = dict(queries)
+    drafts = {gi: list(ds) for gi, ds in drafts_by_group.items()}
+    for _ in range(rounds):
+        targets = {f"g{gi}|d{di}": d
+                   for gi in sorted(live)
+                   for di, d in enumerate(drafts[gi])}
+        aligner = Aligner(targets, acfg)
+        recs = aligner.to_bam_records(aligner.align(queries), seq_map)
+        by_draft: dict[tuple[int, int], list] = {}
+        for r in recs:
+            tname = aligner.names[r.ref_id]
+            g_t, d_t = tname[1:].split("|d")
+            g_r = r.name[1:].split("|r")[0]
+            if g_t != g_r:
+                continue                    # cross-haplotype hit
+            by_draft.setdefault((int(g_t), int(d_t)), []).append(r)
+        changed = False
+        for gi in live:
+            new_list = []
+            for di, d in enumerate(drafts[gi]):
+                rs = by_draft.get((gi, di))
+                nd = _consensus_edit(d, rs) if rs else d
+                changed = changed or nd != d
+                new_list.append(nd)
+            drafts[gi] = new_list
+        if not changed:
+            break
+    return drafts
+
+
+def layout_block(read_seqs: list[str], overlaps: list[_Overlap],
+                 cfg: AssemblyConfig) -> list[str]:
+    """Containment removal + greedy layout for one read group (the
+    overlap-consuming half of assemble_block, shared with the batched
+    farm).  `overlaps` use local read indices."""
+    contained = np.zeros(len(read_seqs), bool)
+    for ov in overlaps:
+        la, lb = len(read_seqs[ov.a]), len(read_seqs[ov.b])
+        if (ov.a_end - ov.a_start) >= 0.95 * la and lb > la:
+            contained[ov.a] = True
+        if (ov.b_end - ov.b_start) >= 0.95 * lb and la > lb:
+            contained[ov.b] = True
+    overlaps = [ov for ov in overlaps
+                if not contained[ov.a] and not contained[ov.b]]
+    kept = [s if not contained[i] else "" for i, s in enumerate(read_seqs)]
+    return [d for d in _layout(kept, overlaps, cfg) if d]
+
+
 def _dedup_reads(seqs: list[str]) -> list[str]:
     """CLR/ONT duplicate-read pre-pass (remove_duplicate
     General_Assembly_Workflow.py:389-415): drop exact-prefix duplicates."""
@@ -377,19 +450,7 @@ def assemble_block(read_seqs: list[str], cfg: AssemblyConfig,
         return AssemblyResult([read_seqs[0]], 1, 0)
     acfg = AlignConfig.preset("ava")
     overlaps = _find_overlaps(read_seqs, cfg, acfg)
-    # containment removal (hifiasm/miniasm pre-pass): a read whose span is
-    # ~fully covered by a longer read neither seeds nor extends
-    contained = np.zeros(len(read_seqs), bool)
-    for ov in overlaps:
-        la, lb = len(read_seqs[ov.a]), len(read_seqs[ov.b])
-        if (ov.a_end - ov.a_start) >= 0.95 * la and lb > la:
-            contained[ov.a] = True
-        if (ov.b_end - ov.b_start) >= 0.95 * lb and la > lb:
-            contained[ov.b] = True
-    overlaps = [ov for ov in overlaps
-                if not contained[ov.a] and not contained[ov.b]]
-    kept = [s if not contained[i] else "" for i, s in enumerate(read_seqs)]
-    drafts = [d for d in _layout(kept, overlaps, cfg) if d]
+    drafts = layout_block(read_seqs, overlaps, cfg)
     rounds = cfg.consensus_rounds if polish_rounds is None else polish_rounds
     if drafts and rounds > 0 and len(read_seqs) >= 3:
         out = polish_many(drafts, read_seqs, AlignConfig.preset("map-hifi"),

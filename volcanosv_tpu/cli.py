@@ -273,12 +273,13 @@ def cmd_qc(args) -> int:
     res = evaluate_assembly(contigs, roc, names, cfg.qc)
     os.makedirs(args.out_dir, exist_ok=True)
     out = os.path.join(args.out_dir, "flagger_blocks.bed")
-    from .qc.flagger import STATE_NAMES
+    from .qc.flagger import state_names
+    names_q = state_names(cfg.qc.n_states)
     with open(out, "w") as fh:
         for c in res.states:
-            for st in range(4):
+            for st in range(len(names_q)):
                 for s, e in res.blocks(c, st):
-                    fh.write(f"{c}\t{s}\t{e}\t{STATE_NAMES[st]}\n")
+                    fh.write(f"{c}\t{s}\t{e}\t{names_q[st]}\n")
     log.info("QC: λ=%.1f, collapsed contigs: %s → %s",
              res.lam, res.collapsed or "none", out)
     return 0

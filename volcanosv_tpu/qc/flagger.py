@@ -33,6 +33,21 @@ STATE_MULT = np.array([0.05, 0.5, 1.0, 2.0])
 STAY = 0.95                 # sticky transitions (hmm_flagger-style prior)
 
 
+def state_mults(n_states: int) -> np.ndarray:
+    """Multiplier ladder per QCConfig.n_states: 3 = err/hap/collapsed,
+    4 = + dup (the hmm_flagger default), 5 = + a high-copy state."""
+    table = {3: [0.05, 1.0, 2.0],
+             4: [0.05, 0.5, 1.0, 2.0],
+             5: [0.05, 0.5, 1.0, 2.0, 4.0]}
+    return np.array(table[n_states])
+
+
+def state_names(n_states: int) -> tuple[str, ...]:
+    return {3: ("err", "hap", "collapsed"),
+            4: STATE_NAMES,
+            5: STATE_NAMES + ("high",)}[n_states]
+
+
 def contig_coverage_windows(records: list[BamRecord],
                             contig_lengths: dict[str, int],
                             contig_names: list[str],
@@ -73,13 +88,30 @@ def _log_poisson(cov: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
 
 @dataclass
 class CoverageHMM:
-    """4-state sticky HMM with Poisson emissions at fixed multiples of λ."""
-    lam: float                   # haploid coverage estimate
+    """Sticky coverage HMM with (over)dispersed Poisson emissions.
+
+    means: per-state emission means (fitted by fit_coverage_hmm, or fixed
+    multiples of a λ estimate).  tau: dispersion index — emissions are
+    tempered by 1/tau, the quasi-Poisson widening hmm_flagger fits for
+    real coverage tracks (GC waves, mapping bias make var > mean)."""
+    means: np.ndarray
     stay: float = STAY
+    tau: float = 1.0
+
+    @staticmethod
+    def from_lambda(lam: float, n_states: int = 4,
+                    stay: float = STAY) -> "CoverageHMM":
+        return CoverageHMM(means=state_mults(n_states) * lam, stay=stay)
+
+    @property
+    def lam(self) -> float:
+        """Haploid coverage = the mean of the 1.0-multiplier state."""
+        mults = state_mults(len(self.means))
+        return float(self.means[int(np.argmin(np.abs(mults - 1.0)))])
 
     def _params(self):
-        S = len(STATE_MULT)
-        means = jnp.asarray(STATE_MULT * self.lam)
+        S = len(self.means)
+        means = jnp.asarray(self.means)
         logA = jnp.log(jnp.where(
             jnp.eye(S, dtype=bool), self.stay, (1 - self.stay) / (S - 1)))
         logpi = jnp.log(jnp.full((S,), 1.0 / S))
@@ -89,7 +121,7 @@ class CoverageHMM:
         """cov (B, T) window coverages (padded), valid (B, T) mask.
         Returns (B, T) int8 state labels."""
         means, logA, logpi = self._params()
-        emit = _log_poisson(jnp.asarray(cov)[..., None], means)   # (B,T,S)
+        emit = _log_poisson(jnp.asarray(cov)[..., None], means) / self.tau
         emit = jnp.where(jnp.asarray(valid)[..., None], emit, 0.0)
 
         def one(emit_bt):
@@ -114,7 +146,7 @@ class CoverageHMM:
     def posteriors(self, cov: np.ndarray, valid: np.ndarray) -> np.ndarray:
         """Forward-backward state posteriors (B, T, S)."""
         means, logA, logpi = self._params()
-        emit = _log_poisson(jnp.asarray(cov)[..., None], means)
+        emit = _log_poisson(jnp.asarray(cov)[..., None], means) / self.tau
         emit = jnp.where(jnp.asarray(valid)[..., None], emit, 0.0)
 
         def one(emit_bt):
@@ -170,6 +202,43 @@ def estimate_haploid_coverage(cov_all: np.ndarray) -> float:
     return float(np.median(nz))
 
 
+def fit_coverage_hmm(cov: np.ndarray, valid: np.ndarray,
+                     cfg: QCConfig) -> CoverageHMM:
+    """EM-fit the coverage mixture HMM (the hmm_flagger.c role: iterative
+    component mean/dispersion fitting, not fixed multiples of a median).
+
+    Per iteration (Baum-Welch E-step on device, M-step on host):
+      * tied-λ ML update   λ = Σ_ts γ·c / Σ_ts γ·m_s  (Poisson means tied
+        to the multiplier ladder — robust to λ mis-estimates)
+      * free per-state mean refinement, clamped to ±40% of the tied
+        skeleton and monotone (keeps state identities from swapping)
+      * dispersion index   τ = Σ w·(c-μ)²/μ / Σ w  (quasi-Poisson
+        overdispersion: GC waves / mapping bias make var > mean; τ widens
+        every state so smooth coverage undulation stops flagging)
+    Stops at max_iter or λ convergence (<0.5%)."""
+    mults = state_mults(cfg.n_states)
+    lam = estimate_haploid_coverage(cov[valid])
+    hmm = CoverageHMM(means=mults * lam)
+    for _ in range(max(cfg.max_iter, 0)):
+        gamma = hmm.posteriors(cov, valid)                    # (B,T,S)
+        w = gamma * valid[..., None]
+        num = (w * cov[..., None]).sum(axis=(0, 1))           # Σ γ·c
+        den = w.sum(axis=(0, 1))                              # Σ γ
+        lam_new = float(num.sum() / max(float((den * mults).sum()), 1e-9))
+        tied = np.maximum(mults * lam_new, 1e-2)
+        free = num / np.maximum(den, 1e-9)
+        means = np.clip(free, 0.6 * tied, 1.4 * tied)
+        means = np.maximum.accumulate(np.maximum(means, 1e-2))
+        disp = ((cov[..., None] - means) ** 2 / np.maximum(means, 1e-2))
+        tau = float((w * disp).sum() / max(float(w.sum()), 1e-9))
+        tau = float(np.clip(tau, 1.0, 10.0))
+        converged = abs(lam_new - hmm.lam) <= 0.005 * max(hmm.lam, 1e-9)
+        hmm = CoverageHMM(means=means, stay=hmm.stay, tau=tau)
+        if converged:
+            break
+    return hmm
+
+
 def evaluate_assembly(contigs: dict[str, str],
                       read_records: list[BamRecord],
                       contig_names: list[str],
@@ -192,17 +261,22 @@ def evaluate_assembly(contigs: dict[str, str],
         v = covs[c]
         cov[i, :len(v)] = v
         valid[i, :len(v)] = True
-    lam = estimate_haploid_coverage(cov[valid])
-    hmm = CoverageHMM(lam=lam, stay=STAY)
+    if cfg.max_iter > 0:
+        hmm = fit_coverage_hmm(cov, valid, cfg)
+    else:                               # fixed multiples of the λ median
+        hmm = CoverageHMM.from_lambda(
+            estimate_haploid_coverage(cov[valid]), cfg.n_states)
     states = hmm.viterbi(cov, valid)
+    collapsed_state = int(np.argmin(
+        np.abs(state_mults(cfg.n_states) - 2.0)))
     result: dict[str, np.ndarray] = {}
     collapsed = []
     for i, c in enumerate(names):
         s = states[i, :len(covs[c])]
         result[c] = s
-        if int((s == 3).sum()) >= min_collapsed_windows:
+        if int((s == collapsed_state).sum()) >= min_collapsed_windows:
             collapsed.append(c)
-    log.info("flagger: λ=%.1f, %d/%d contigs with collapsed blocks",
-             lam, len(collapsed), len(names))
-    return FlaggerResult(states=result, collapsed=collapsed, lam=lam,
+    log.info("flagger: λ=%.1f τ=%.2f, %d/%d contigs with collapsed blocks",
+             hmm.lam, hmm.tau, len(collapsed), len(names))
+    return FlaggerResult(states=result, collapsed=collapsed, lam=hmm.lam,
                          window=cfg.window)
