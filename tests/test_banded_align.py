@@ -165,3 +165,61 @@ def test_free_t_end_semiglobal(rng):
         free_t_end=True, free_t_start=True)
     assert int(score[0]) == 100 * 2  # all matches
     assert int(end_j[0]) == 136
+
+
+DUAL = Scores(match=2, mismatch=-4, gap_open=-4, gap_extend=-2,
+              gap_open2=-24, gap_extend2=-1)
+
+
+def test_dual_affine_matches_full_dp(rng):
+    """Dual-affine (minimap2 -O o1,o2 -E e1,e2; dipcall asm20 preset,
+    volcanosv-vc-small-indel.py:85-95) vs the O(mn) oracle — long gaps must
+    take the cheaper second class."""
+    qs, ts = [], []
+    for _ in range(8):
+        t = "".join(rng.choice(list("ACGT"), 120))
+        q = _mutate(rng, t, n_ind=2, max_indel=30)   # long indels
+        qs.append(encode_seq(q)); ts.append(encode_seq(t))
+    q_pad, qlen = pad_codes(qs, pad_to=160)
+    t_pad, tlen = pad_codes(ts, pad_to=160)
+    score, tb, _ = banded_align_scan(
+        q_pad, t_pad, qlen, tlen, W=128, d_lo=-64, scores=DUAL)
+    score = np.asarray(score)
+    tb = np.asarray(tb)
+    for b in range(8):
+        oracle = full_affine_score_np(qs[b], ts[b], DUAL)
+        assert score[b] == oracle, (b, score[b], oracle)
+        # single-affine scores the same gaps lower
+        single = full_affine_score_np(qs[b], ts[b])
+        assert oracle >= single
+        cig = traceback_cigar(tb[:, b], int(qlen[b]), int(tlen[b]), d_lo=-64)
+        qi, ti = _apply_cigar(cig, qs[b], ts[b])
+        assert (qi, ti) == (len(qs[b]), len(ts[b]))
+
+
+def test_dual_affine_traceback_score_consistency(rng):
+    """Re-scoring the dual-affine CIGAR (each gap at the better of the two
+    classes) must reproduce the DP score exactly."""
+    t = "".join(rng.choice(list("ACGT"), 200))
+    q = _mutate(rng, t, n_sub=4, n_ind=3, max_indel=40)
+    qs, ts = encode_seq(q), encode_seq(t)
+    q_pad, qlen = pad_codes([qs], pad_to=256)
+    t_pad, tlen = pad_codes([ts], pad_to=256)
+    score, tb, _ = banded_align_scan(
+        q_pad, t_pad, qlen, tlen, W=256, d_lo=-128, scores=DUAL)
+    cig = traceback_cigar(np.asarray(tb)[:, 0], len(qs), len(ts), d_lo=-128)
+    s = 0
+    qi = ti = 0
+    for op, ln in cig:
+        if op == 0:
+            for k in range(ln):
+                s += DUAL.match if qs[qi + k] == ts[ti + k] else DUAL.mismatch
+            qi += ln; ti += ln
+        else:
+            s += max(DUAL.gap_open + DUAL.gap_extend * ln,
+                     DUAL.gap_open2 + DUAL.gap_extend2 * ln)
+            if op == 1:
+                qi += ln
+            else:
+                ti += ln
+    assert s == int(np.asarray(score)[0]), (s, int(np.asarray(score)[0]), cig)

@@ -87,3 +87,33 @@ def test_aggregate_min_size_floor():
     sigs = [_sig("DEL", 100, 12), _sig("DEL", 500, 45)]
     sp, sl, _ = aggregate_read_sigs(sigs, "DEL", min_size=30)
     assert sp.tolist() == [500] and sl.tolist() == [45]
+
+
+def test_task_window_grid_matches_unwindowed():
+    """The 10Mb task-grid decomposition (sig_extract.py:603-644) must be
+    output-invariant: tiny windows give the same sorted signature stream."""
+    import dataclasses
+
+    rng = np.random.default_rng(6)
+    M, I, D, S = 0, 1, 2, 4
+    reads = []
+    for i in range(40):
+        pos = int(rng.integers(0, 50_000))
+        cigar = np.array([[M, 700], [I, 45], [M, 600], [D, 60], [M, 700]],
+                         np.int64)
+        reads.append(BamRecord(name=f"r{i}", pos=pos, mapq=60, cigar=cigar,
+                               seq="A" * 2045))
+    # a split pair whose segments straddle a tiny window boundary
+    reads.append(BamRecord(name="sp", pos=900, mapq=60,
+                           cigar=np.array([[M, 1000], [S, 1000]], np.int64),
+                           seq="A" * 2000))
+    reads.append(BamRecord(name="sp", pos=2500, mapq=60,
+                           cigar=np.array([[S, 1000], [M, 1000]], np.int64),
+                           seq="A" * 2000))
+    cfg = GTCorrectionConfig()
+    small = dataclasses.replace(cfg, task_window=1_000)
+    a = extract_gt_read_sigs(reads, "chr1", cfg)
+    b = extract_gt_read_sigs(reads, "chr1", small)
+    key = lambda s: (s.pos, s.svtype, s.svlen, s.qname)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert any(s.source == "split-alignment" for s in b)

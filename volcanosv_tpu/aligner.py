@@ -165,7 +165,7 @@ def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
     return skeleton, int(aq[0]), int(at[0])
 
 
-def _run_refine(ws: list[_Window]):
+def _run_refine(ws: list[_Window], scores: Scores = Scores()):
     """Batch all 'refine' windows by bucket; exact traceback CIGARs.
 
     One compiled shape per M bucket: targets always pad to mb + _REFINE_W
@@ -182,7 +182,8 @@ def _run_refine(ws: list[_Window]):
         t_pad, tlen = pad_codes([w.t_codes for w in grp], pad_to=nb)
         q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad, qlen, tlen)
         cigs = banded_align_cigars(
-            q_pad, t_pad, qlen, tlen, W=_REFINE_W, d_lo=_REFINE_DLO)
+            q_pad, t_pad, qlen, tlen, W=_REFINE_W, d_lo=_REFINE_DLO,
+            scores=scores)
         for i, w in enumerate(grp):
             w.result = cigs[i]
 
@@ -239,6 +240,13 @@ class Aligner:
 
     def __init__(self, ref_seqs: dict[str, str], cfg: AlignConfig):
         self.cfg = cfg
+        # per-preset DP scores, incl. the dual-affine long-gap class when
+        # the preset sets it (asm20/dipcall: minimap2 -O 5,56 -E 4,1,
+        # volcanosv-vc-small-indel.py:85-95)
+        self.scores = Scores(match=cfg.match, mismatch=cfg.mismatch,
+                             gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+                             gap_open2=cfg.gap_open2,
+                             gap_extend2=cfg.gap_extend2)
         with stage_timer("index_build", log):
             self.ref_codes = {n: encode_seq(s) for n, s in ref_seqs.items()}
             self.index = MinimizerIndex.build(self.ref_codes, cfg.k, cfg.w)
@@ -287,7 +295,8 @@ class Aligner:
                         qc, self._tget, ch, cfg, len(plans), windows)
                     plans.append((qname, qlen, ch, skeleton, aq0, at0, rank))
         with stage_timer("dp_windows", log):
-            _run_refine([w for w in windows if w.kind == "refine"])
+            _run_refine([w for w in windows if w.kind == "refine"],
+                        scores=self.scores)
             _run_split([w for w in windows if w.kind == "split"])
         with stage_timer("assemble", log):
             return self._assemble(plans)

@@ -84,9 +84,23 @@ def run_assembly(groups: dict[str, list[str]], cfg: AssemblyConfig,
 
     if cfg.consensus_rounds > 0:
         with stage_timer("farm_polish", log):
-            drafts_by_gi = polish_grouped(
+            drafts_by_gi, votes = polish_grouped(
                 drafts_by_gi, reads_by_gi, AlignConfig.preset("map-hifi"),
                 rounds=cfg.consensus_rounds)
+        # drop leak-artifact fragment drafts: a draft of a multi-draft,
+        # polished group attracting fewer than min_draft_reads primary
+        # reads is built from stray double-assigned reads of the OTHER
+        # haplotype (it only wins reads that carry its private variant)
+        for gi, ds in list(drafts_by_gi.items()):
+            v = votes.get(gi) or []
+            if len(ds) < 2 or len(v) != len(ds):
+                continue
+            kept = [(d, n) for d, n in zip(ds, v)
+                    if n >= cfg.min_draft_reads]
+            if kept and len(kept) < len(ds):
+                log.info("dropped %d low-evidence draft(s) in %s",
+                         len(ds) - len(kept), names[gi])
+                drafts_by_gi[gi] = [d for d, _ in kept]
 
     contigs: dict[str, str] = {}
     for gi, name in enumerate(names):

@@ -362,18 +362,23 @@ def polish(draft: str, read_seqs: list[str], acfg: AlignConfig,
 def polish_grouped(drafts_by_group: dict[int, list[str]],
                    reads_by_group: dict[int, list[str]],
                    acfg: AlignConfig, rounds: int = 1
-                   ) -> dict[int, list[str]]:
+                   ) -> tuple[dict[int, list[str]], dict[int, list[int]]]:
     """Pileup-consensus polish of EVERY group's drafts in one aligner
     launch per round — the batched farm's polish stage (one index over all
     phase-block-haplotype drafts of a chromosome, one batched read
     alignment; replaces one polish_many launch per hap group).  A read
     votes only on drafts of its own group: cross-group (cross-haplotype)
-    best-hits are dropped so the earlier partition decision stands."""
+    best-hits are dropped so the earlier partition decision stands.
+
+    Returns (polished drafts, per-draft primary read-vote counts from the
+    last round — the farm's evidence for dropping leak-artifact fragment
+    drafts; unpolished groups get empty vote lists)."""
     from ..aligner import Aligner
     live = {gi for gi, ds in drafts_by_group.items()
             if ds and len(reads_by_group.get(gi, [])) >= 3}
+    votes: dict[int, list[int]] = {gi: [] for gi in drafts_by_group}
     if not live or rounds <= 0:
-        return drafts_by_group
+        return drafts_by_group, votes
     queries = [(f"g{gi}|r{ri}", s)
                for gi in sorted(live)
                for ri, s in enumerate(reads_by_group[gi])]
@@ -396,15 +401,20 @@ def polish_grouped(drafts_by_group: dict[int, list[str]],
         changed = False
         for gi in live:
             new_list = []
+            vlist = []
             for di, d in enumerate(drafts[gi]):
                 rs = by_draft.get((gi, di))
                 nd = _consensus_edit(d, rs) if rs else d
                 changed = changed or nd != d
                 new_list.append(nd)
+                vlist.append(sum(1 for r in (rs or [])
+                                 if not r.is_supplementary
+                                 and not r.is_secondary))
             drafts[gi] = new_list
+            votes[gi] = vlist
         if not changed:
             break
-    return drafts
+    return drafts, votes
 
 
 def layout_block(read_seqs: list[str], overlaps: list[_Overlap],

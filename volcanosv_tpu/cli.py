@@ -107,6 +107,11 @@ def cmd_sim(args) -> int:
     hap1, hap2, truth = sim.implant_svs(
         rng, ref, n_del=args.n_del, n_ins=args.n_ins, n_inv=args.n_inv,
         n_dup=args.n_dup, min_len=args.min_len, max_len=args.max_len)
+    if getattr(args, "n_tra", 0):
+        if args.chroms < 2:
+            log.error("--n_tra requires --chroms >= 2")
+            return 2
+        truth += sim.implant_tra(rng, ref, hap1, hap2, truth)
     hap1, hap2, _ = sim.implant_snps(rng, hap1, hap2, rate=args.snp_rate)
     reads = sim.simulate_reads(
         rng, {1: hap1, 2: hap2}, coverage=args.coverage,
@@ -117,6 +122,13 @@ def cmd_sim(args) -> int:
     trecs = []
     for i, t in enumerate(truth):
         gt = "1|1" if t.gt == (1, 1) else ("1|0" if t.gt[0] else "0|1")
+        if t.svtype == "BND":
+            trecs.append(VcfRecord(
+                chrom=t.chrom, pos=t.pos + 1, id=f"truth-{i}", ref="N",
+                alt=f"N[{t.chrom2}:{t.pos2 + 1}[", gt=gt,
+                info={"SVTYPE": "BND", "CHR2": t.chrom2,
+                      "END": t.pos2 + 1}))
+            continue
         trecs.append(VcfRecord(
             chrom=t.chrom, pos=t.pos + 1, id=f"truth-{i}", ref="N",
             alt=f"<{t.svtype}>", gt=gt,
@@ -475,7 +487,6 @@ def cmd_run(args) -> int:
     large = _call_large_indels(ref, li_by_chrom, contigs, cfg,
                                reads_by_chrom, reads_sigs)
     ins_records = [r for r in large if r.svtype == "INS"]
-    p_large = _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, large)
 
     si_by_chrom, _ = _align_by_chrom(ref, contigs, "asm20")
     small = []
@@ -486,11 +497,18 @@ def cmd_run(args) -> int:
     p_small = _vcf_out(args.out_dir, "volcanosv_small_indel.vcf", ref, small)
 
     cx_by_chrom, _ = _align_by_chrom(ref, contigs, "asm10")
+    consumed: set = set()
     complex_recs = call_complex_svs(cx_by_chrom, ref, cfg,
                                     ins_records=ins_records,
-                                    reads_by_chrom=reads_by_chrom)
+                                    reads_by_chrom=reads_by_chrom,
+                                    consumed_ins=consumed)
     p_cx = _vcf_out(args.out_dir, "volcanosv_complex_sv.vcf", ref,
                     complex_recs)
+    if consumed:
+        # an INS the DUP recovery reclassified is reported once, as <DUP>
+        # (align_ins2ref.py role)
+        large = [r for r in large if r.id not in consumed]
+    p_large = _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, large)
 
     out = os.path.join(args.out_dir, "volcanosv_variants.vcf")
     n = merge_vcfs([p_large, p_small, p_cx], out)
@@ -541,6 +559,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_ins", type=int, default=4)
     p.add_argument("--n_inv", type=int, default=0)
     p.add_argument("--n_dup", type=int, default=0)
+    p.add_argument("--n_tra", type=int, default=0,
+                   help="implant a reciprocal cross-chromosome "
+                        "translocation (needs --chroms >= 2)")
     p.add_argument("--min_len", type=int, default=60)
     p.add_argument("--max_len", type=int, default=400)
     p.add_argument("--snp_rate", type=float, default=1 / 1500)

@@ -60,10 +60,12 @@ class AlignConfig:
     mismatch: int = -4
     gap_open: int = -4
     gap_extend: int = -2
-    gap_open2: int = -24             # long-gap affine (dual affine like minimap2 -O 5,56)
-    gap_extend2: int = -1
-    refine_window: int = 1024        # DP refinement window around candidate breakpoints
-    max_target_len: int = 1_000_000
+    # dual-affine long-gap class (None = single affine).  The asm20/dipcall
+    # preset enables it — minimap2 -O 5,56 -E 4,1
+    # (volcanosv-vc-small-indel.py:85-95): long gaps switch to the cheap
+    # class past the cost crossover, here k > 20bp.
+    gap_open2: int | None = None
+    gap_extend2: int | None = None
 
     @staticmethod
     def preset(name: str) -> "AlignConfig":
@@ -72,7 +74,8 @@ class AlignConfig:
         if name == "asm10":
             return AlignConfig(k=19, w=10, mismatch=-3)
         if name == "asm20":
-            return AlignConfig(k=19, w=10, mismatch=-2)
+            return AlignConfig(k=19, w=10, mismatch=-2,
+                               gap_open2=-24, gap_extend2=-1)
         if name == "map-hifi":
             return AlignConfig(k=19, w=19, min_chain_score=60)
         if name in ("map-ont", "map-pb"):
@@ -93,6 +96,11 @@ class SignatureConfig:
     merge_dist_large: int = 250      # merge INS/DEL >=250bp within this distance
     merge_size_boundary: int = 250
     split_overlap_tol: int = 3_000   # split-pair read-overlap tolerance (Hifi)
+    # minimum aligned span for a segment to join split-pair analysis: tiny
+    # supplementary segments (e.g. a tandem-dup copy re-aligned to the
+    # original locus) are alignments minimap2 -r2k absorbs into the primary
+    # CIGAR — pairing them fabricates junctions
+    min_split_segment: int = 500
     split_rel_overlap: float = 0.0   # CLR=0.3 / ONT=0.5 relative overlap criterion
     # ONT-only split-INS branch: Diffdis*0.8 ≤ Diffolp ≤ |Diffdis|*r
     # (extract_contig_signature_ONT.py:373-380)
@@ -191,7 +199,9 @@ class GTCorrectionConfig:
     # the gap to the previous signature is ≤ merge_dis
     merge_ins_dis: int = 100
     merge_del_dis: int = 0
-    merge_min_siglength: int = 10    # sig_extract '-s' min_siglength floor
+    merge_min_siglength: int = 10    # sig_extract '-sl' min_siglength floor
+    task_window: int = 10_000_000    # genome task grid (sig_extract.py '-b'
+                                     # batches, :603-644 — 10Mb default)
     # n_ratio thresholds (t_large_11, t_small_11, t_large_01, t_small_01);
     # None disables (== 'nan' in para/GT_correction_para_{dtype}_{TYPE}.txt)
     del_thresholds: tuple = (0.6, 0.69, 0.71, 0.91)       # Hifi DEL
@@ -241,6 +251,10 @@ class ComplexSVConfig:
     dup_max_shift: int = 300
     dup_max_shift_ratio: float = 0.3
     dup_int_dest_tol: int = 20       # is_similar(), SVIM_inter.py:12-16
+    min_segment_len: int = 500       # junction analysis ignores smaller
+                                     # segments (dup-copy re-alignments);
+                                     # the INV minority-strand scan keeps
+                                     # them (small inversions are real)
     # hap pairing by reconstructed-haplotype edit distance
     # (SVIM_COMBINE.py:15-140 + SVIM_input_parsing.py:219-230)
     partition_max_distance: int = 1_000
@@ -311,9 +325,11 @@ class AssemblyConfig:
     genome size estimate = phase-block span (General_Assembly_Workflow.py:13-18)."""
     assembler: str = "volcano-olc"   # single native assembler; enum kept for parity
     min_overlap_len: int = 500
-    min_overlap_frac: float = 0.05
     max_overhang: int = 1_000
     min_reads: int = 1
+    min_draft_reads: int = 3         # polished fragment drafts winning fewer
+                                     # primary reads are dropped (leaked
+                                     # double-assigned reads of the other hap)
     consensus_rounds: int = 1
     dedup_reads: bool = False        # CLR/ONT duplicate pre-pass (remove_duplicate:389-415)
 

@@ -36,6 +36,8 @@ class EvalParams:
     minsize: int = 30
     maxsize: int = 0            # 0 = unlimited
     typematch: bool = True      # SVTYPE must match (truvari default)
+    dup_to_ins: bool = True     # DUP↔INS pairs are compatible (the GIAB
+                                # convention truvari --dup-to-ins serves)
 
 
 @dataclass
@@ -109,6 +111,8 @@ def evaluate(base: list[VcfRecord], comp: list[VcfRecord],
     Records below minsize (or above maxsize, if set) on either side are
     excluded entirely, mirroring truvari's size filter."""
     def keep(r: VcfRecord) -> bool:
+        if _svtype(r) == "BND":
+            return True              # breakends have no length; size-exempt
         s = r.svlen
         if s < params.minsize:
             return False
@@ -130,14 +134,27 @@ def evaluate(base: list[VcfRecord], comp: list[VcfRecord],
             if b.chrom != c.chrom:
                 continue
             if params.typematch and bt != ct:
-                continue
+                # truvari's dup-to-ins convention: a tandem duplication and
+                # an insertion of the duplicated copy are the same event
+                # (GIAB truth encodes DUPs as INS)
+                if not ({bt, ct} == {"DUP", "INS"} and params.dup_to_ins):
+                    continue
             if abs(b.pos - c.pos) > params.refdist:
                 continue
-            ssim = min(b.svlen, c.svlen) / max(b.svlen, c.svlen, 1)
-            if ssim < params.pctsize:
-                continue
+            if bt == "BND":
+                # breakend match: both ends within refdist, same mate chrom
+                if str(b.info.get("CHR2", "")) != str(c.info.get("CHR2", "")):
+                    continue
+                if abs(int(b.info.get("END", b.pos))
+                       - int(c.info.get("END", c.pos))) > params.refdist:
+                    continue
+                ssim = 1.0
+            else:
+                ssim = min(b.svlen, c.svlen) / max(b.svlen, c.svlen, 1)
+                if ssim < params.pctsize:
+                    continue
             ovl = 1.0
-            if bt in _SPAN_TYPES:
+            if bt in _SPAN_TYPES and ct in _SPAN_TYPES:
                 be, ce = _end(b, bt), _end(c, ct)
                 inter = min(be, ce) - max(b.pos, c.pos)
                 ovl = inter / max(min(be - b.pos, ce - c.pos), 1)

@@ -35,18 +35,35 @@ import numpy as np
 
 NEG = jnp.int32(-(10**9) // 2)
 
-# traceback encoding
-TB_DIAG, TB_UP, TB_LEFT = 0, 1, 2            # bits 0-1: H source
-TB_E_OPEN = 4                                # bit 2: E opened (vs extended)
-TB_F_OPEN = 8                                # bit 3: F opened (vs extended)
+# traceback encoding: bits 0-2 = H source, bits 3-6 = gap-open flags
+TB_DIAG, TB_UP, TB_LEFT = 0, 1, 2
+TB_UP2, TB_LEFT2 = 3, 4                      # long-gap (dual-affine) states
+TB_CHOICE = 7
+TB_E_OPEN = 8                                # E opened (vs extended)
+TB_F_OPEN = 16                               # F opened (vs extended)
+TB_E2_OPEN = 32
+TB_F2_OPEN = 64
 
 
 @dataclass(frozen=True)
 class Scores:
+    """Affine (optionally dual-affine) gap scores.
+
+    gap_open is charged on open *in addition to* extend.  gap_open2/
+    gap_extend2 enable the second (long-gap) affine class: gap cost =
+    max(open+k·ext, open2+k·ext2) in score space — minimap2's -O o1,o2
+    -E e1,e2 double affine (the dipcall asm20 preset uses -O 5,56 -E 4,1,
+    volcanosv-vc-small-indel.py:85-95)."""
     match: int = 2
     mismatch: int = -4
-    gap_open: int = -4      # charged on gap open *in addition to* extend
+    gap_open: int = -4
     gap_extend: int = -2
+    gap_open2: int | None = None
+    gap_extend2: int | None = None
+
+    @property
+    def dual(self) -> bool:
+        return self.gap_open2 is not None
 
     @staticmethod
     def edit() -> "Scores":
@@ -99,7 +116,16 @@ def banded_align_scan(
     B, M = q.shape
     N = t.shape[1]
     go, ge = jnp.int32(scores.gap_open), jnp.int32(scores.gap_extend)
+    dual = scores.dual
+    if dual:
+        go2 = jnp.int32(scores.gap_open2)
+        ge2 = jnp.int32(scores.gap_extend2)
     lanes = jnp.arange(W, dtype=jnp.int32)
+
+    def gap_score(k):
+        """Best score of a length-k run gap (k ≥ 1)."""
+        s = go + ge * k
+        return jnp.maximum(s, go2 + ge2 * k) if dual else s
 
     # row -1 init: lane l ↔ j = -1 + d_lo + l
     j_init = -1 + d_lo + lanes
@@ -110,7 +136,7 @@ def banded_align_scan(
         H0 = jnp.where(
             j_init == -1, 0,
             jnp.where((j_init >= 0) & (j_init < tlen[:, None]),
-                      go + ge * (j_init + 1), NEG)).astype(jnp.int32)
+                      gap_score(j_init + 1), NEG)).astype(jnp.int32)
     E0 = jnp.full((B, W), NEG, jnp.int32)
 
     # pad t so dynamic slicing never clips: indices i+d_lo ∈ [d_lo, M-1+d_lo]
@@ -119,9 +145,14 @@ def banded_align_scan(
     t_pad = jnp.pad(t, ((0, 0), (pad_l, pad_r)), constant_values=4)
 
     ge_l = ge * lanes  # static per-lane drift for the F prefix scan
+    if dual:
+        ge2_l = ge2 * lanes
 
     def step(carry, i):
-        H_prev, E_prev, best, best_j = carry
+        if dual:
+            H_prev, E_prev, E2_prev, best, best_j = carry
+        else:
+            H_prev, E_prev, best, best_j = carry
         j = i + d_lo + lanes                       # (W,) target cols this row
         j_valid = (j >= 0) & (j[None, :] < tlen[:, None])
         row_valid = i < qlen                        # (B,)
@@ -141,11 +172,19 @@ def banded_align_scan(
 
         Hdiag = H_prev + sub
         Htmp = jnp.maximum(Hdiag, E)
-        h_up_bit = E > Hdiag                        # H choice so far: up vs diag
+        choice = jnp.where(E > Hdiag, jnp.uint8(TB_UP), jnp.uint8(TB_DIAG))
+        if dual:
+            E2_up = jnp.concatenate([E2_prev[:, 1:], jnp.full((B, 1), NEG)], 1)
+            E2_open = H_up + go2 + ge2
+            E2_ext = E2_up + ge2
+            E2 = jnp.maximum(E2_open, E2_ext)
+            e2_open_bit = (E2_open >= E2_ext)
+            choice = jnp.where(E2 > Htmp, jnp.uint8(TB_UP2), choice)
+            Htmp = jnp.maximum(Htmp, E2)
 
-        # inject column -1 boundary H(i,-1) = go+ge*(i+1) at lane -1-i-d_lo
+        # inject column -1 boundary H(i,-1) at lane -1-i-d_lo
         lb = -1 - i - d_lo
-        boundary = go + ge * (i + 1)
+        boundary = gap_score(i + 1)
         inject = (lanes == lb)
         Htmp = jnp.where(inject[None, :], boundary, Htmp)
 
@@ -158,11 +197,19 @@ def banded_align_scan(
         f_open_bit = (H_left + go + ge) >= F
 
         H = jnp.maximum(Htmp, F)
-        h_left = F > Htmp
+        choice = jnp.where(F > Htmp, jnp.uint8(TB_LEFT), choice)
+        if dual:
+            pm2 = _prefix_max_exclusive(Htmp - ge2_l[None, :])
+            F2 = pm2 + ge2_l[None, :] + go2
+            f2_open_bit = (H_left + go2 + ge2) >= F2
+            choice = jnp.where(F2 > H, jnp.uint8(TB_LEFT2), choice)
+            H = jnp.maximum(H, F2)
 
         cell_valid = j_valid & row_valid[:, None]
         H = jnp.where(cell_valid | inject[None, :], H, NEG)
         E = jnp.where(cell_valid, E, NEG)
+        if dual:
+            E2 = jnp.where(cell_valid, E2, NEG)
 
         # capture global score at (qlen-1, tlen-1) — lane tlen-qlen-d_lo
         if free_t_end:
@@ -180,11 +227,14 @@ def banded_align_scan(
             new_best = jnp.where(last_row, val, best)
             new_best_j = jnp.where(last_row, tlen - 1, best_j)
 
-        # H choice: LEFT dominates when F > Htmp; else UP if E>Hdiag; else DIAG
-        tb_row = jnp.where(h_left, jnp.uint8(TB_LEFT),
-                           jnp.where(h_up_bit, jnp.uint8(TB_UP), jnp.uint8(TB_DIAG)))
+        tb_row = choice
         tb_row = tb_row | jnp.where(e_open_bit, jnp.uint8(TB_E_OPEN), jnp.uint8(0))
         tb_row = tb_row | jnp.where(f_open_bit, jnp.uint8(TB_F_OPEN), jnp.uint8(0))
+        if dual:
+            tb_row = tb_row | jnp.where(e2_open_bit, jnp.uint8(TB_E2_OPEN),
+                                        jnp.uint8(0))
+            tb_row = tb_row | jnp.where(f2_open_bit, jnp.uint8(TB_F2_OPEN),
+                                        jnp.uint8(0))
 
         outs = []
         if with_traceback:
@@ -192,11 +242,17 @@ def banded_align_scan(
         if row0_scores:
             # H on diagonal 0 (lane -d_lo): score of q[0..i] vs t[0..i]
             outs.append(H[:, -d_lo])
-        return (H, E, new_best, new_best_j), tuple(outs)
+        new_carry = (H, E, E2, new_best, new_best_j) if dual \
+            else (H, E, new_best, new_best_j)
+        return new_carry, tuple(outs)
 
-    init = (H0, E0, jnp.full((B,), NEG, jnp.int32), jnp.zeros((B,), jnp.int32))
-    (Hf, Ef, best, best_j), outs = jax.lax.scan(
+    zb = jnp.full((B,), NEG, jnp.int32)
+    zj = jnp.zeros((B,), jnp.int32)
+    init = (H0, E0, jnp.full((B, W), NEG, jnp.int32), zb, zj) if dual \
+        else (H0, E0, zb, zj)
+    carry_f, outs = jax.lax.scan(
         step, init, jnp.arange(M, dtype=jnp.int32))
+    best, best_j = carry_f[-2], carry_f[-1]
     tb = outs[0] if with_traceback else None
     row0 = outs[-1] if row0_scores else None
     if row0_scores:
@@ -252,30 +308,37 @@ def _walk_device(tb, qlen, tlen, d_lo: int, n_steps: int):
                                    axis=0)[0].astype(jnp.int32)
         cell = jnp.where(in_band, cell, TB_DIAG)
         i_neg, j_neg = i < 0, j < 0
-        choice = cell & 3
+        choice = cell & TB_CHOICE
         s0 = state == 0
         s0_diag = s0 & (choice == TB_DIAG)
-        s0_up = s0 & (choice == TB_UP)
-        s0_left = s0 & (choice == TB_LEFT)
-        s1, s2 = state == 1, state == 2
+        s0_up = s0 & ((choice == TB_UP) | (choice == TB_UP2))
+        s0_left = s0 & ((choice == TB_LEFT) | (choice == TB_LEFT2))
+        # states: 1=E(up/I), 2=F(left/D), 3=E2, 4=F2
+        s_up = (state == 1) | (state == 3)
+        s_left = (state == 2) | (state == 4)
         op = jnp.where(done, 3,
              jnp.where(i_neg, 2,
              jnp.where(j_neg, 1,
              jnp.where(s0_diag, 0,
-             jnp.where(s1, 1,
-             jnp.where(s2, 2, 3))))))
+             jnp.where(s_up, 1,
+             jnp.where(s_left, 2, 3))))))
         di = jnp.where(done | i_neg, 0,
              jnp.where(j_neg, 1,
-             jnp.where(s0_diag | s1, 1, 0)))
+             jnp.where(s0_diag | s_up, 1, 0)))
         dj = jnp.where(done, 0,
              jnp.where(i_neg, 1,
              jnp.where(j_neg, 0,
-             jnp.where(s0_diag | s2, 1, 0))))
+             jnp.where(s0_diag | s_left, 1, 0))))
+        gap_closed = ((state == 1) & ((cell & TB_E_OPEN) != 0)) | \
+                     ((state == 2) & ((cell & TB_F_OPEN) != 0)) | \
+                     ((state == 3) & ((cell & TB_E2_OPEN) != 0)) | \
+                     ((state == 4) & ((cell & TB_F2_OPEN) != 0))
         new_state = jnp.where(done | i_neg | j_neg, state,
-                    jnp.where(s0_up, 1,
-                    jnp.where(s0_left, 2,
-                    jnp.where(s1 & ((cell & TB_E_OPEN) != 0), 0,
-                    jnp.where(s2 & ((cell & TB_F_OPEN) != 0), 0, state)))))
+                    jnp.where(s0 & (choice == TB_UP), 1,
+                    jnp.where(s0 & (choice == TB_UP2), 3,
+                    jnp.where(s0 & (choice == TB_LEFT), 2,
+                    jnp.where(s0 & (choice == TB_LEFT2), 4,
+                    jnp.where(gap_closed, 0, state))))))
         i2, j2 = i - di, j - dj
         done2 = done | ((i2 < 0) & (j2 < 0))
         return (i2, j2, new_state, done2), op.astype(jnp.uint8)
@@ -388,7 +451,8 @@ def traceback_cigar(tb: np.ndarray, qlen: int, tlen: int, d_lo: int,
         else:
             ops.append((op, 1))
 
-    state = 0  # 0=H, 1=E(up/I), 2=F(left/D)
+    state = 0  # 0=H, 1=E(up/I), 2=F(left/D), 3=E2, 4=F2
+    open_bit = {1: TB_E_OPEN, 2: TB_F_OPEN, 3: TB_E2_OPEN, 4: TB_F2_OPEN}
     guard = qlen + tlen + 2 * W + 10
     while (i >= 0 or j >= 0) and guard > 0:
         guard -= 1
@@ -401,22 +465,26 @@ def traceback_cigar(tb: np.ndarray, qlen: int, tlen: int, d_lo: int,
         l = j - i - d_lo
         cell = int(tb[i, l]) if 0 <= l < W else TB_DIAG
         if state == 0:
-            choice = cell & 3
+            choice = cell & TB_CHOICE
             if choice == TB_DIAG:
                 push(0); i -= 1; j -= 1
             elif choice == TB_UP:
                 state = 1
-            else:
+            elif choice == TB_UP2:
+                state = 3
+            elif choice == TB_LEFT:
                 state = 2
-        elif state == 1:
+            else:
+                state = 4
+        elif state in (1, 3):
             push(1)
-            opened = bool(cell & TB_E_OPEN)
+            opened = bool(cell & open_bit[state])
             i -= 1
             if opened:
                 state = 0
         else:
             push(2)
-            opened = bool(cell & TB_F_OPEN)
+            opened = bool(cell & open_bit[state])
             j -= 1
             if opened:
                 state = 0
@@ -429,23 +497,37 @@ def traceback_cigar(tb: np.ndarray, qlen: int, tlen: int, d_lo: int,
 # ---------------------------------------------------------------------------
 
 def full_affine_score_np(q: np.ndarray, t: np.ndarray, s: Scores = Scores()) -> int:
-    """O(mn) full-matrix affine global alignment score (oracle for tests)."""
+    """O(mn) full-matrix (dual-)affine global alignment score (test oracle)."""
     m, n = len(q), len(t)
     NEGI = -(10**9) // 2
     H = np.full(n + 1, NEGI, np.int64)
     E = np.full(n + 1, NEGI, np.int64)
+    E2 = np.full(n + 1, NEGI, np.int64)
+    go2 = s.gap_open2 if s.dual else None
+    ge2 = s.gap_extend2 if s.dual else None
+
+    def gap(k):
+        v = s.gap_open + s.gap_extend * k
+        return max(v, go2 + ge2 * k) if s.dual else v
+
     H[0] = 0
     for j in range(1, n + 1):
-        H[j] = s.gap_open + s.gap_extend * j
+        H[j] = gap(j)
     for i in range(1, m + 1):
         diag = H.copy()
-        H[0] = s.gap_open + s.gap_extend * i
+        H[0] = gap(i)
         F = NEGI
+        F2 = NEGI
         for j in range(1, n + 1):
             E[j] = max(diag[j] + s.gap_open + s.gap_extend, E[j] + s.gap_extend)
             F = max(H[j - 1] + s.gap_open + s.gap_extend, F + s.gap_extend)
             sub = s.match if (q[i - 1] == t[j - 1] and q[i - 1] < 4) else s.mismatch
-            H[j] = max(diag[j - 1] + sub, E[j], F)
+            best = max(diag[j - 1] + sub, E[j], F)
+            if s.dual:
+                E2[j] = max(diag[j] + go2 + ge2, E2[j] + ge2)
+                F2 = max(H[j - 1] + go2 + ge2, F2 + ge2)
+                best = max(best, E2[j], F2)
+            H[j] = best
     return int(H[n])
 
 

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..banded_align import Scores, TB_E_OPEN, TB_F_OPEN, TB_LEFT, TB_UP
+from ..banded_align import (Scores, TB_E2_OPEN, TB_E_OPEN, TB_F2_OPEN,
+                            TB_F_OPEN, TB_LEFT, TB_LEFT2, TB_UP, TB_UP2)
 
 LANES = 128          # batch tile width (TPU lane count)
 ROW_TILE = 8         # query rows per grid step (traceback stream block)
@@ -49,16 +50,30 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref,      # inputs
     rest = list(rest)
     tb_ref = rest.pop(0) if with_traceback else None
     row0_ref = rest.pop(0) if row0_scores else None
-    H, E, best, bestj = rest
+    dual = scores.dual
+    if dual:
+        H, E, E2, best, bestj = rest
+    else:
+        H, E, best, bestj = rest
+        E2 = None
     m = pl.program_id(1)
     go = jnp.int32(scores.gap_open)
     ge = jnp.int32(scores.gap_extend)
+    if dual:
+        go2 = jnp.int32(scores.gap_open2)
+        ge2 = jnp.int32(scores.gap_extend2)
     match = jnp.int32(scores.match)
     mismatch = jnp.int32(scores.mismatch)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)         # (W,1)
     ge_l = l_iota * ge        # (W,1)
+    if dual:
+        ge2_l = l_iota * ge2
     tlen = tlen_ref[0:1, :]                                          # (1,B)
     qlen = qlen_ref[0:1, :]
+
+    def gap_score(k):
+        s = go + ge * k
+        return jnp.maximum(s, go2 + ge2 * k) if dual else s
 
     @pl.when(m == 0)
     def _init():
@@ -66,10 +81,11 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref,      # inputs
         in_t = (j_init >= 0) & (j_init < tlen)                       # (W,B)
         H0 = jnp.where(
             j_init == -1, 0,
-            jnp.where(in_t, scores.gap_open
-                      + scores.gap_extend * (j_init + 1), NEG16))
+            jnp.where(in_t, gap_score(j_init + 1), NEG16))
         H[:, :] = H0.astype(jnp.int32)
         E[:, :] = jnp.full(E.shape, NEG16, jnp.int32)
+        if dual:
+            E2[:, :] = jnp.full(E2.shape, NEG16, jnp.int32)
         best[:, :] = jnp.full(best.shape, -(10 ** 9), jnp.int32)
         bestj[:, :] = jnp.zeros(bestj.shape, jnp.int32)
 
@@ -83,8 +99,20 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref,      # inputs
     tspan = tT_ref[pl.ds(base, W + R), :].astype(jnp.int32)          # (W+R,B)
     H_prev = H[:, :]
     E_prev = E[:, :]
+    E2_prev = E2[:, :] if dual else None
     best_v = best[:, :]
     bestj_v = bestj[:, :]
+
+    def prefix_max_excl(x):
+        pm = jnp.concatenate([neg_row, x[:-1, :]], 0)
+        s = 1
+        while s < W:
+            pm = jnp.maximum(
+                pm, jnp.concatenate(
+                    [jnp.full((s, H.shape[1]), NEG16, jnp.int32),
+                     pm[:-s, :]], 0))
+            s *= 2
+        return pm
 
     for r in range(R):
         i = base + r
@@ -101,29 +129,34 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref,      # inputs
 
         Hdiag = H_prev + sub
         Htmp = jnp.maximum(Hdiag, E_new)
-        h_up = E_new > Hdiag
+        choice = jnp.where(E_new > Hdiag, TB_UP, 0)
+        if dual:
+            E2_up = jnp.concatenate([E2_prev[1:, :], neg_row], 0)
+            E2_open = H_up + (go2 + ge2)
+            E2_ext = E2_up + ge2
+            E2_new = jnp.maximum(E2_open, E2_ext)
+            choice = jnp.where(E2_new > Htmp, TB_UP2, choice)
+            Htmp = jnp.maximum(Htmp, E2_new)
 
         lb = -1 - i - d_lo                                           # scalar
-        boundary = scores.gap_open + scores.gap_extend * (i + 1)
+        boundary = gap_score(i + 1)
         inject = l_iota == lb                                        # (W,1)
         Htmp = jnp.where(inject, boundary, Htmp)
 
         # F-recurrence: exclusive max-plus prefix along sublanes
-        x = Htmp - ge_l
-        pm = jnp.concatenate([neg_row, x[:-1, :]], 0)
-        s = 1
-        while s < W:
-            pm = jnp.maximum(
-                pm, jnp.concatenate(
-                    [jnp.full((s, H.shape[1]), NEG16, jnp.int32),
-                     pm[:-s, :]], 0))
-            s *= 2
+        pm = prefix_max_excl(Htmp - ge_l)
         F = pm + ge_l + go
         H_left = jnp.concatenate([neg_row, Htmp[:-1, :]], 0)
         f_open = (H_left + go + ge) >= F
 
         H_new = jnp.maximum(Htmp, F)
-        h_left = F > Htmp
+        choice = jnp.where(F > Htmp, TB_LEFT, choice)
+        if dual:
+            pm2 = prefix_max_excl(Htmp - ge2_l)
+            F2 = pm2 + ge2_l + go2
+            f2_open = (H_left + go2 + ge2) >= F2
+            choice = jnp.where(F2 > H_new, TB_LEFT2, choice)
+            H_new = jnp.maximum(H_new, F2)
 
         j = i + d_lo + l_iota                                        # (W,1)
         j_valid = (j >= 0) & (j < tlen)                              # (W,B)
@@ -131,6 +164,8 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref,      # inputs
         cell_valid = j_valid & row_valid
         H_new = jnp.where(cell_valid | inject, H_new, NEG16)
         E_new = jnp.where(cell_valid, E_new, NEG16)
+        if dual:
+            E2_new = jnp.where(cell_valid, E2_new, NEG16)
 
         last = i == (qlen - 1)                                       # (1,B)
         H32 = H_new
@@ -152,10 +187,12 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref,      # inputs
 
         if with_traceback:
             # bits in i32 (packed-u8 selects unsupported), cast on store
-            tb = jnp.where(
-                h_left, TB_LEFT, jnp.where(h_up, TB_UP, 0))
+            tb = choice
             tb = tb + jnp.where(E_open >= E_ext, TB_E_OPEN, 0)
             tb = tb + jnp.where(f_open, TB_F_OPEN, 0)
+            if dual:
+                tb = tb + jnp.where(E2_open >= E2_ext, TB_E2_OPEN, 0)
+                tb = tb + jnp.where(f2_open, TB_F2_OPEN, 0)
             tb_ref[r:r + 1, :, :] = tb.astype(jnp.uint8)[None, :, :]
 
         if row0_scores:
@@ -163,9 +200,13 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref,      # inputs
             row0_ref[r:r + 1, :] = H_new[-d_lo:-d_lo + 1, :]
 
         H_prev, E_prev = H_new, E_new
+        if dual:
+            E2_prev = E2_new
 
     H[:, :] = H_prev
     E[:, :] = E_prev
+    if dual:
+        E2[:, :] = E2_prev
     best[:, :] = best_v
     bestj[:, :] = bestj_v
 
@@ -236,9 +277,11 @@ def _banded_pallas_jit(q, t, qlen, tlen, *, W: int, d_lo: int,
         out_specs.append(
             pl.BlockSpec((R, LANES), lambda bt, m: (m, bt),
                          memory_space=pltpu.VMEM))
-    scratch = [
-        pltpu.VMEM((W, LANES), jnp.int32),            # H
-        pltpu.VMEM((W, LANES), jnp.int32),            # E
+    scratch = [pltpu.VMEM((W, LANES), jnp.int32)]     # H
+    scratch.append(pltpu.VMEM((W, LANES), jnp.int32))  # E
+    if scores.dual:
+        scratch.append(pltpu.VMEM((W, LANES), jnp.int32))  # E2
+    scratch += [
         pltpu.VMEM((1, LANES), jnp.int32),            # best
         pltpu.VMEM((1, LANES), jnp.int32),            # best_j
     ]

@@ -20,10 +20,12 @@ BASES = np.array(list("ACGT"))
 class TrueSV:
     chrom: str
     pos: int          # 0-based ref position (breakpoint, base before event)
-    svtype: str       # DEL / INS / INV / DUP
+    svtype: str       # DEL / INS / INV / DUP / BND
     svlen: int
     gt: tuple[int, int]   # (hap1, hap2) presence
     seq: str = ""     # inserted sequence for INS
+    chrom2: str = ""  # BND mate chromosome
+    pos2: int = 0     # BND mate position (0-based)
 
 
 def random_genome(rng: np.random.Generator, length: int,
@@ -99,6 +101,70 @@ def implant_svs(
             parts.append(seq[cur:])
             store[chrom] = "".join(parts)
     return hap1, hap2, truth
+
+
+def _hap_offset(truth: list[TrueSV], chrom: str, pos: int, hap: int) -> int:
+    """Length delta of haplotype `hap` vs the reference left of `pos`."""
+    off = 0
+    for e in truth:
+        if e.chrom != chrom or e.pos >= pos or not e.gt[hap]:
+            continue
+        if e.svtype == "DEL":
+            off -= e.svlen
+        elif e.svtype in ("INS", "DUP"):
+            off += e.svlen
+    return off
+
+
+def _sv_free_pos(truth: list[TrueSV], chrom: str, length: int,
+                 margin: int) -> int:
+    """A mid-chromosome position ≥ margin away from every implanted SV."""
+    events = sorted(e.pos for e in truth if e.chrom == chrom)
+    for p in range(length // 2, length - margin, 997):
+        if all(abs(p - q) >= margin for q in events):
+            return p
+    return length // 2
+
+
+def implant_tra(
+    rng: np.random.Generator,
+    ref: dict[str, str],
+    hap1: dict[str, str],
+    hap2: dict[str, str],
+    truth: list[TrueSV] | None = None,
+    chrom_a: str = "chr1",
+    chrom_b: str = "chr2",
+    pos_a: int | None = None,
+    pos_b: int | None = None,
+) -> list[TrueSV]:
+    """Implant a homozygous reciprocal cross-chromosome translocation by
+    swapping the chromosome tails of both haplotypes at (pos_a, pos_b) —
+    mid-chromosome by default, in an SV-free window, with the tail-swap
+    coordinates shifted per haplotype by the length deltas of the SVs
+    implant_svs already placed (so the junction sits at EXACTLY
+    (pos_a, pos_b) in reference coordinates on both haplotypes).
+
+    Returns the four truth breakend rows (two junctions × two mates, VCF
+    BND semantics)."""
+    truth = truth or []
+    margin = 4_000
+    pa = pos_a if pos_a is not None else _sv_free_pos(
+        truth, chrom_a, len(ref[chrom_a]), margin)
+    pb = pos_b if pos_b is not None else _sv_free_pos(
+        truth, chrom_b, len(ref[chrom_b]), margin)
+    for hap_idx, hap in ((0, hap1), (1, hap2)):
+        pa_h = pa + _hap_offset(truth, chrom_a, pa, hap_idx)
+        pb_h = pb + _hap_offset(truth, chrom_b, pb, hap_idx)
+        a, b = hap[chrom_a], hap[chrom_b]
+        hap[chrom_a] = a[:pa_h] + b[pb_h:]
+        hap[chrom_b] = b[:pb_h] + a[pa_h:]
+    gt = (1, 1)
+    return [
+        TrueSV(chrom_a, pa, "BND", 0, gt, chrom2=chrom_b, pos2=pb),
+        TrueSV(chrom_b, pb, "BND", 0, gt, chrom2=chrom_a, pos2=pa),
+        TrueSV(chrom_b, pb, "BND", 0, gt, chrom2=chrom_a, pos2=pa),
+        TrueSV(chrom_a, pa, "BND", 0, gt, chrom2=chrom_b, pos2=pb),
+    ]
 
 
 def implant_snps(

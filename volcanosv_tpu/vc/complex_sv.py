@@ -114,16 +114,25 @@ def segment_candidates(records_by_chrom: dict[str, list[BamRecord]],
                     out.append(Candidate("INV", s.ref_name, s.pos, s.ref_end,
                                          ln, hap, qname))
         # junction list for interspersed-DUP pairing, svim "translocations":
-        # (dir1, dir2, chr1, pos1, chr2, pos2)  (SVIM_inter.py:293-321)
+        # (dir1, dir2, chr1, pos1, chr2, pos2)  (SVIM_inter.py:293-321).
+        # Junction analysis ignores tiny segments (dup-copy re-alignments
+        # interleaving the chain fabricate junctions, cfg.min_segment_len)
+        segs_j = [s for s in segs
+                  if s.qo_end - s.qo_start >= cfg.min_segment_len]
         juncs: list[tuple[str, str, str, int, str, int]] = []
-        for a, b in zip(segs, segs[1:]):
+        for a, b in zip(segs_j, segs_j[1:]):
             q_gap = b.qo_start - a.qo_end
             if a.ref_name != b.ref_name:
-                # breakend pair at the junction (filter_tra.py bracket types)
+                # breakend pair at the junction (filter_tra.py bracket
+                # types).  Strand table (recorded at the a side):
+                #   (+,+) N[  — a's fwd end joins b's fwd start
+                #   (+,-) N]  — a's fwd end joins b reverse
+                #   (-,+) [N  — reverse a joined by b's fwd start
+                #   (-,-) ]N  — the (+,+) junction seen from a RC contig
                 pos1 = a.ref_end if a.strand == 1 else a.pos
                 pos2 = b.pos if b.strand == 1 else b.ref_end
                 orient = ("N[" if b.strand == 1 else "N]") if a.strand == 1 \
-                    else ("]N" if b.strand == 1 else "[N")
+                    else ("[N" if b.strand == 1 else "]N")
                 out.append(Candidate("BND", a.ref_name, pos1, pos2, 0, hap,
                                      qname, chrom2=b.ref_name, orient=orient))
                 if a.strand == b.strand:
@@ -544,6 +553,18 @@ def _bnd_alt(orient: str, chrom: str, pos1: int) -> str:
             "]N": f"]{mate}]N", "[N": f"[{mate}[N"}[orient]
 
 
+def _canonical_bnd(c: Candidate) -> Candidate:
+    """Normalize a breakend to its lexicographically-smaller mate form: a
+    junction observed from a reverse-complement-assembled contig is the
+    MATE representation of the same breakend ((c2,p2,mate-orient) instead
+    of (c1,p1,orient)) — canonicalizing makes the hp1/hp2 observations of
+    one junction cluster regardless of contig orientation."""
+    if (c.chrom2, c.end) < (c.chrom, c.pos):
+        return Candidate("BND", c.chrom2, c.end, c.pos, 0, c.hap, c.qname,
+                         chrom2=c.chrom, orient=_MATE_ORIENT[c.orient])
+    return c
+
+
 def call_translocations(cands: list[Candidate], cfg: ComplexSVConfig
                         ) -> list[VcfRecord]:
     """svim span-position BND pairing (GT) → filter_tra clustering.
@@ -555,7 +576,8 @@ def call_translocations(cands: list[Candidate], cfg: ComplexSVConfig
     (cluster_bnd/merge_bnd, filter_tra.py:70-116).  Each breakend emits
     BOTH mates as reciprocal records linked by MATEID (VCF BND
     semantics, svim-asm output contract)."""
-    bnds = _dedup_same_hap([c for c in cands if c.svtype == "BND"])
+    bnds = _dedup_same_hap([_canonical_bnd(c) for c in cands
+                            if c.svtype == "BND"])
     reps = [(cl[0], {c.hap for c in cl}) for cl in pair_breakends(bnds, cfg)]
     groups: list[list[tuple[Candidate, set]]] = []
     for c, haps in sorted(reps, key=lambda rh: (rh[0].chrom, rh[0].chrom2,
@@ -602,10 +624,14 @@ def call_complex_svs(
     cfg: PipelineConfig,
     ins_records: list[VcfRecord] | None = None,
     reads_by_chrom: dict[str, list[BamRecord]] | None = None,
+    consumed_ins: set | None = None,
 ) -> list[VcfRecord]:
     """Full complex-SV calling (driver parity: volcanosv-vc-complex-sv.py).
 
-    ins_records: large-indel INS calls for DUP recovery (:131-138)."""
+    ins_records: large-indel INS calls for DUP recovery (:131-138).
+    consumed_ins (when passed) receives the ids of INS records the DUP
+    recovery reclassified — the driver drops them from the large-indel VCF
+    so a tandem duplication is reported once, as <DUP>."""
     csv = cfg.complex_sv
     cands = (segment_candidates(contig_records_by_chrom, 1, csv)
              + segment_candidates(contig_records_by_chrom, 2, csv))
@@ -630,8 +656,10 @@ def call_complex_svs(
             info={"SVTYPE": "DUP", "SVLEN": best.svlen, "END": best.end,
                   "READS": best.qname}))
     if ins_records:
-        dups, _ = recover_dups_from_ins(ins_records, ref_seqs, csv,
-                                        cfg.dtype.value)
+        dups, consumed = recover_dups_from_ins(ins_records, ref_seqs, csv,
+                                               cfg.dtype.value)
         out += dups
+        if consumed_ins is not None:
+            consumed_ins |= consumed
     out.sort(key=lambda r: (r.chrom, r.pos))
     return out

@@ -119,6 +119,37 @@ def extract_gt_read_sigs(
     records: list[BamRecord], chrom: str, cfg: GTCorrectionConfig,
     min_mapq: int = 20, min_read_len: int = 500,
 ) -> list[Signature]:
+    """Task-grid wrapper: the genome is decomposed into task_window bins
+    (the reference's 10Mb batches, sig_extract.py:603-644 main_ctrl) — each
+    read is processed in the bin its alignment starts in, so bins are
+    embarrassingly parallel and peak memory is per-bin.  Results are the
+    pos-sorted concat (the reference's sort|uniq reduce)."""
+    if not records:
+        return []
+    win = max(int(cfg.task_window), 1)
+    # a read's segments all go to the bin of its leftmost alignment, so
+    # split-pair analysis never straddles bins (cuteSV assigns whole reads
+    # to tasks the same way)
+    first_pos: dict[str, int] = {}
+    for r in records:
+        p = max(r.pos, 0)
+        if r.name not in first_pos or p < first_pos[r.name]:
+            first_pos[r.name] = p
+    bins: dict[int, list[BamRecord]] = {}
+    for r in records:
+        bins.setdefault(first_pos[r.name] // win, []).append(r)
+    out: list[Signature] = []
+    for b in sorted(bins):
+        out.extend(_extract_gt_read_sigs_task(bins[b], chrom, cfg,
+                                              min_mapq, min_read_len))
+    out.sort(key=lambda s: s.pos)
+    return out
+
+
+def _extract_gt_read_sigs_task(
+    records: list[BamRecord], chrom: str, cfg: GTCorrectionConfig,
+    min_mapq: int = 20, min_read_len: int = 500,
+) -> list[Signature]:
     """The cuteSV-style merged signature stream driving GT correction.
 
     ref sig_extract.py parse_read (:438-493) with the driver's defaults

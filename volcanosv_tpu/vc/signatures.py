@@ -287,10 +287,13 @@ def extract_contig_signatures(
             dels_c.extend(d)
             inss_c.extend(i)
 
-    # split pairs: adjacent segments per query in coordinate order
+    # split pairs: adjacent segments per query in coordinate order; tiny
+    # segments (dup-copy re-alignments) are excluded — pairing them
+    # fabricates junctions (cfg.min_split_segment)
     by_name: dict[str, list[BamRecord]] = {}
     for r in recs:
-        if r.mapq >= cfg.min_mapq:
+        if r.mapq >= cfg.min_mapq \
+                and r.reference_length() >= cfg.min_split_segment:
             by_name.setdefault(r.name, []).append(r)
     dels_s, inss_s = [], []
     for name, group in by_name.items():

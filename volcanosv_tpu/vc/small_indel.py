@@ -120,36 +120,69 @@ def _variants_from_alignment(rec: BamRecord, ref_seq: str,
     return out
 
 
+VarKey = tuple[int, str]            # (anchor pos, kind ∈ {'S','I','D'})
+
+
+def _kind(v: HapVariant) -> str:
+    if v.is_snp:
+        return "S"
+    return "I" if len(v.alt) > len(v.ref) else "D"
+
+
 def extract_hap_variants(records: list[BamRecord], ref_seq: str, hap: str,
                          cfg: SmallIndelConfig
-                         ) -> tuple[dict[int, HapVariant], np.ndarray]:
+                         ) -> tuple[dict[VarKey, HapVariant], np.ndarray]:
     """All variants of one haplotype + its ref-coverage mask.
 
-    Overlapping contigs: highest-mapq (then longest) alignment wins a
-    position, mirroring htsbox's best-allele-per-column rule."""
+    htsbox pileup column semantics (pileup.c:126-176): a column carries a
+    base allele AND an indel allele independently, so variants key on
+    (pos, kind) — a SNP and an adjacent-anchored indel at one position
+    coexist.  Disagreeing overlapping contigs of the SAME haplotype resolve
+    jointly: the majority allele among covering contigs wins, and an allele
+    asserted by ≤ half of the covering contigs is ambiguous and dropped
+    (one contig says variant, the other says ref → no call, like a 50/50
+    pileup column)."""
     L = len(ref_seq)
     cov = np.zeros(L + 1, np.int32)
-    by_pos: dict[int, HapVariant] = {}
+    # (pos, kind) → (ref, alt) → [n_contigs, best HapVariant]
+    support: dict[VarKey, dict[tuple[str, str], list]] = {}
     recs = [r for r in records
             if hap in r.name and not r.is_unmapped
             and not r.is_secondary and r.mapq >= cfg.min_mapq]
-    recs.sort(key=lambda r: (r.mapq, r.reference_length()))
     for rec in recs:
         cov[rec.pos] += 1
         cov[min(rec.reference_end, L)] -= 1
         for v in _variants_from_alignment(rec, ref_seq, cfg):
-            by_pos[v.pos] = v      # later (higher-priority) records override
-    covered = np.cumsum(cov[:-1]) > 0
-    return by_pos, covered
+            d = support.setdefault((v.pos, _kind(v)), {})
+            e = d.get((v.ref, v.alt))
+            if e is None:
+                d[(v.ref, v.alt)] = [1, v]
+            else:
+                e[0] += 1
+                if v.mapq > e[1].mapq:
+                    e[1] = v
+    coverage = np.cumsum(cov[:-1])
+    by_key: dict[VarKey, HapVariant] = {}
+    for key, alleles in support.items():
+        n, v = max(alleles.values(),
+                   key=lambda e: (e[0], e[1].mapq,
+                                  len(e[1].alt) + len(e[1].ref)))
+        pos = key[0]
+        n_cover = int(coverage[pos]) if 0 <= pos < L else n
+        if 2 * n > n_cover:
+            by_key[key] = v
+    return by_key, coverage > 0
 
 
 def pair_hap_variants(chrom: str,
-                      h1: dict[int, HapVariant], h2: dict[int, HapVariant],
+                      h1: dict[VarKey, HapVariant],
+                      h2: dict[VarKey, HapVariant],
                       cov1: np.ndarray, cov2: np.ndarray
                       ) -> list[VcfRecord]:
     """dipcall-aux.js vcfpair equivalent: join per-hap variant streams into
     phased diploid records; multi-ALT sites are split into two records
-    (reformat_dipcall.py:9-28)."""
+    (reformat_dipcall.py:9-28).  Streams join on (pos, kind), so a SNP and
+    an indel anchored at one position each produce their own record."""
     out: list[VcfRecord] = []
     counter = {}
 
@@ -168,8 +201,9 @@ def pair_hap_variants(chrom: str,
             chrom=chrom, pos=v.pos + 1, id=f"{chrom}-{vtype}-{n}-{v.pos+1}",
             ref=v.ref, alt=v.alt, qual="30", gt=gt, info=info))
 
-    for pos in sorted(set(h1) | set(h2)):
-        v1, v2 = h1.get(pos), h2.get(pos)
+    for key in sorted(set(h1) | set(h2)):
+        pos = key[0]
+        v1, v2 = h1.get(key), h2.get(key)
         if v1 and v2:
             if (v1.ref, v1.alt) == (v2.ref, v2.alt):
                 emit(v1, "1|1")
