@@ -33,7 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.int32(-(10**9) // 2)
+# plain python int (not jnp.int32): a device constant at import time would
+# initialize the backend and break jax.distributed.initialize ordering for
+# multi-host runs; jnp promotes it inside traced code identically
+NEG = -(10**9) // 2
 
 # traceback encoding: bits 0-2 = H source, bits 3-6 = gap-open flags
 TB_DIAG, TB_UP, TB_LEFT = 0, 1, 2
