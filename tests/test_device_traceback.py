@@ -52,6 +52,23 @@ def test_walk_device_matches_host_walk(rng):
         assert got == want, (b, got[:4], want[:4])
 
 
+def test_walk_device_packed_matches_unpacked(rng):
+    from volcanosv_tpu.ops.banded_align import _unpack_ops
+    B, M, W, d_lo = 16, 128, 64, -32
+    q, t, qlen, tlen = _random_pairs(rng, B, M, W)
+    _s, tb, _e = banded_align_scan(q, t, qlen, tlen, W=W, d_lo=d_lo,
+                                   scores=Scores())
+    tb_mwb = jnp.asarray(np.asarray(tb).transpose(0, 2, 1))
+    n_steps = 2 * M + 3 * W + 12            # multiple of 4
+    plain = np.asarray(_walk_device(tb_mwb, jnp.asarray(qlen),
+                                    jnp.asarray(tlen), d_lo, n_steps))
+    packed = np.asarray(_walk_device(tb_mwb, jnp.asarray(qlen),
+                                     jnp.asarray(tlen), d_lo, n_steps,
+                                     pack=True))
+    assert packed.shape == (n_steps // 4, B)
+    np.testing.assert_array_equal(_unpack_ops(packed), plain)
+
+
 def test_walk_device_consumes_exact_lengths(rng):
     B, M, W, d_lo = 8, 64, 32, -16
     q, t, qlen, tlen = _random_pairs(rng, B, M, W)

@@ -288,13 +288,17 @@ def _row_bucket(n: int, m_cap: int) -> int:
     return min(r, m_cap)
 
 
-@functools.partial(jax.jit, static_argnames=("d_lo", "n_steps"))
-def _walk_device(tb, qlen, tlen, d_lo: int, n_steps: int):
+@functools.partial(jax.jit, static_argnames=("d_lo", "n_steps", "pack"))
+def _walk_device(tb, qlen, tlen, d_lo: int, n_steps: int, pack: bool = False):
     """Batched traceback walk ON DEVICE over the Pallas-layout (M, W, B)
     traceback.  Emits (n_steps, B) uint8 op codes in reverse walk order
     (0=M, 1=I, 2=D, 3=none) — transferring the op stream costs
     (steps × B) bytes instead of the full (M × W × B) tensor, which the
-    axon tunnel fetches at ~25 MB/s.  Exactly mirrors traceback_cigar."""
+    axon tunnel fetches at ~25 MB/s.  Exactly mirrors traceback_cigar.
+
+    With pack=True (requires n_steps % 4 == 0) four consecutive 2-bit ops
+    are packed per byte on device → (n_steps//4, B) uint8, a further 4×
+    cut on the host fetch; _unpack_ops restores the stream."""
     M, W, B = tb.shape
     flat = tb.reshape(M * W, B)
     i = qlen.astype(jnp.int32) - 1
@@ -348,7 +352,17 @@ def _walk_device(tb, qlen, tlen, d_lo: int, n_steps: int):
 
     _carry, ops = jax.lax.scan(step, (i, j, state, done), None,
                                length=n_steps)
+    if pack:
+        o = ops.reshape(n_steps // 4, 4, B).astype(jnp.uint8)
+        ops = (o[:, 0] | (o[:, 1] << 2) | (o[:, 2] << 4) | (o[:, 3] << 6))
     return ops.reshape(-1).reshape(ops.shape)    # default layout for fetch
+
+
+def _unpack_ops(packed: np.ndarray) -> np.ndarray:
+    """(n_steps//4, B) packed bytes → (n_steps, B) op codes 0..3."""
+    shifts = np.array([0, 2, 4, 6], np.uint8)
+    return ((packed[:, None, :] >> shifts[None, :, None]) & 3).reshape(
+        -1, packed.shape[1])
 
 
 def _rle_column(col: np.ndarray) -> list[tuple[int, int]]:
@@ -376,9 +390,14 @@ def banded_align_cigars(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
         _s, tb, _ej = banded_align_pallas(q, t, qlen, tlen, W=W, d_lo=d_lo,
                                           scores=scores)
         M = tb.shape[0]
-        n_steps = 2 * M + 3 * W + 10
-        ops = np.asarray(_walk_device(tb, jnp.asarray(qlen),
-                                      jnp.asarray(tlen), d_lo, n_steps))
+        # the walk consumes ≤ qlen+tlen steps; bucket to multiples of 256
+        # (bounded compile shapes, and a multiple of 4 for 2-bit packing)
+        need = int(np.max(np.asarray(qlen) + np.asarray(tlen))) + 8
+        n_steps = min(2 * M + 3 * W + 12, -(-need // 256) * 256)
+        packed = np.asarray(_walk_device(tb, jnp.asarray(qlen),
+                                         jnp.asarray(tlen), d_lo, n_steps,
+                                         pack=True))
+        ops = _unpack_ops(packed)
         return [_rle_column(ops[:, b]) for b in range(B)]
     _s, tb, _ej = banded_align_scan(q, t, qlen, tlen, W=W, d_lo=d_lo,
                                     scores=scores)
