@@ -36,6 +36,12 @@ import numpy as np
 
 BASELINE_GCUPS = 1.0        # ksw2-class CPU core
 HBM_BW_V5E = 819e9          # bytes/s, public TPU v5e spec
+# pct-of-peak denominator: pinned to the best add/max microbenchmark result
+# observed on this chip (rounds 1-2 measured 5.58-7.47 TOPS run to run —
+# host-RPC noise over the tunnel).  Pinning makes pct_vpu_peak comparable
+# across commits; the live measurement is still reported as
+# vpu_peak_measured_tops for drift tracking.
+VPU_PEAK_CALIBRATED = 7.471e12
 
 # ops/cell of the Pallas kernel inner loop (ops/pallas/banded_dp.py _kernel),
 # counting one VPU op per elementwise add/max/cmp/select on the (W, B) tile:
@@ -157,13 +163,14 @@ def main() -> None:
     gcups_t, cells_t, _, _ = bench_dp(with_traceback=True)
     vpu_peak = bench_vpu_peak()
 
-    pct_vpu = 100.0 * cells_s * _ops_per_cell(W, False) / vpu_peak
-    pct_vpu_tb = 100.0 * cells_t * _ops_per_cell(W, True) / vpu_peak
+    pct_vpu = 100.0 * cells_s * _ops_per_cell(W, False) / VPU_PEAK_CALIBRATED
+    pct_vpu_tb = 100.0 * cells_t * _ops_per_cell(W, True) / VPU_PEAK_CALIBRATED
     pct_hbm_tb = 100.0 * cells_t / HBM_BW_V5E
 
     detail["kernel"] = kernel
     detail["banded_dp_score_gcups"] = round(gcups_s, 2)
     detail["banded_dp_traceback_gcups"] = round(gcups_t, 2)
+    detail["vpu_peak_calibrated_tops"] = round(VPU_PEAK_CALIBRATED / 1e12, 3)
     detail["vpu_peak_measured_tops"] = round(vpu_peak / 1e12, 3)
     detail["ops_per_cell_score"] = _ops_per_cell(W, False)
     detail["ops_per_cell_traceback"] = _ops_per_cell(W, True)

@@ -201,3 +201,30 @@ def test_pairing_same_hap_never_pairs():
              Candidate("INV", "chr1", 8_500, 9_600, 1_100, 1, "c2")]
     cl = pair_candidates_by_sequence(cands, ref, cfg)
     assert len(cl) == 2
+
+
+def test_pairing_threshold_is_svim_parity():
+    """svim-asm cuts complete linkage at edit distance 10
+    (pair_haplotypes default, SVIM_COMBINE.py:120).  Two INVs whose
+    breakpoints differ by ~50bp reconstruct haplotypes ~100 edits apart —
+    similar but different alleles that MUST stay two clusters (two hets) at
+    the pairing stage; only near-identical pairs may merge to one 1|1
+    cluster.  (The downstream filter_inv 500bp merge is a separate,
+    reference-faithful step tested elsewhere.)"""
+    from volcanosv_tpu.vc.complex_sv import (Candidate,
+                                             pair_candidates_by_sequence)
+    rng = np.random.default_rng(11)
+    ref = random_genome(rng, 30_000)
+    cfg = PipelineConfig.for_dtype("Hifi").complex_sv
+    assert cfg.pair_max_edit_distance == 10
+
+    slack = [Candidate("INV", "chr1", 10_000, 11_000, 1_000, 1, "hp1ctg"),
+             Candidate("INV", "chr1", 10_050, 11_050, 1_000, 2, "hp2ctg")]
+    cl = pair_candidates_by_sequence(slack, ref, cfg)
+    assert len(cl) == 2, [(c.pos, c.hap) for part in cl for c in part]
+
+    # tiny jitter (1bp ≈ 4 edits, within the 10-edit cut) still pairs
+    jitter = [Candidate("INV", "chr1", 10_000, 11_000, 1_000, 1, "hp1ctg"),
+              Candidate("INV", "chr1", 10_001, 11_001, 1_000, 2, "hp2ctg")]
+    cl = pair_candidates_by_sequence(jitter, ref, cfg)
+    assert len(cl) == 1 and {c.hap for c in cl[0]} == {1, 2}

@@ -43,8 +43,10 @@ def test_walk_device_matches_host_walk(rng):
     tb_np = np.asarray(tb)                       # (M, B, W) scan layout
     tb_mwb = jnp.asarray(tb_np.transpose(0, 2, 1))   # → (M, W, B)
     n_steps = 2 * M + 3 * W + 10
-    ops = np.asarray(_walk_device(tb_mwb, jnp.asarray(qlen),
-                                  jnp.asarray(tlen), d_lo, n_steps))
+    ops, done = _walk_device(tb_mwb, jnp.asarray(qlen),
+                             jnp.asarray(tlen), d_lo, n_steps)
+    ops = np.asarray(ops)
+    assert bool(np.all(np.asarray(done)))
     for b in range(B):
         got = _rle_column(ops[:, b])
         want = traceback_cigar(tb_np[:, b], int(qlen[b]), int(tlen[b]),
@@ -61,10 +63,10 @@ def test_walk_device_packed_matches_unpacked(rng):
     tb_mwb = jnp.asarray(np.asarray(tb).transpose(0, 2, 1))
     n_steps = 2 * M + 3 * W + 12            # multiple of 4
     plain = np.asarray(_walk_device(tb_mwb, jnp.asarray(qlen),
-                                    jnp.asarray(tlen), d_lo, n_steps))
+                                    jnp.asarray(tlen), d_lo, n_steps)[0])
     packed = np.asarray(_walk_device(tb_mwb, jnp.asarray(qlen),
                                      jnp.asarray(tlen), d_lo, n_steps,
-                                     pack=True))
+                                     pack=True)[0])
     assert packed.shape == (n_steps // 4, B)
     np.testing.assert_array_equal(_unpack_ops(packed), plain)
 
@@ -77,7 +79,7 @@ def test_walk_device_consumes_exact_lengths(rng):
     tb_mwb = jnp.asarray(np.asarray(tb).transpose(0, 2, 1))
     ops = np.asarray(_walk_device(tb_mwb, jnp.asarray(qlen),
                                   jnp.asarray(tlen), d_lo,
-                                  2 * M + 3 * W + 10))
+                                  2 * M + 3 * W + 10)[0])
     for b in range(B):
         cig = _rle_column(ops[:, b])
         qc = sum(ln for op, ln in cig if op in (0, 1))

@@ -258,7 +258,10 @@ class ComplexSVConfig:
     # hap pairing by reconstructed-haplotype edit distance
     # (SVIM_COMBINE.py:15-140 + SVIM_input_parsing.py:219-230)
     partition_max_distance: int = 1_000
-    pair_max_edit_distance: int = 200
+    # svim-asm's edit_distance_threshold=10 (SVIM_COMBINE.py:120
+    # pair_haplotypes default): two similar-but-different alleles (e.g.
+    # INVs with 50bp breakpoint slack) must stay two hets, not merge to 1|1
+    pair_max_edit_distance: int = 10
     pair_max_partition: int = 10     # larger partitions dropped (:128-130)
     bnd_pair_threshold: float = 0.3  # span-position distance cut (:142-160)
     bnd_pair_norm: int = 3_000       # (d1+d2)/norm (:108-121)

@@ -298,7 +298,14 @@ def _walk_device(tb, qlen, tlen, d_lo: int, n_steps: int, pack: bool = False):
 
     With pack=True (requires n_steps % 4 == 0) four consecutive 2-bit ops
     are packed per byte on device → (n_steps//4, B) uint8, a further 4×
-    cut on the host fetch; _unpack_ops restores the stream."""
+    cut on the host fetch; _unpack_ops restores the stream.
+
+    Also returns the final per-row `done` flags: entering a gap run costs
+    one extra no-move step, so a caller-chosen n_steps can under-shoot on
+    gap-dense alignments — callers must check done and re-walk with the
+    full bound (`_walk_steps_full`) when any row is unfinished."""
+    if pack:
+        assert n_steps % 4 == 0, f"pack=True needs n_steps % 4 == 0, got {n_steps}"
     M, W, B = tb.shape
     flat = tb.reshape(M * W, B)
     i = qlen.astype(jnp.int32) - 1
@@ -350,12 +357,13 @@ def _walk_device(tb, qlen, tlen, d_lo: int, n_steps: int, pack: bool = False):
         done2 = done | ((i2 < 0) & (j2 < 0))
         return (i2, j2, new_state, done2), op.astype(jnp.uint8)
 
-    _carry, ops = jax.lax.scan(step, (i, j, state, done), None,
-                               length=n_steps)
+    carry, ops = jax.lax.scan(step, (i, j, state, done), None,
+                              length=n_steps)
     if pack:
         o = ops.reshape(n_steps // 4, 4, B).astype(jnp.uint8)
         ops = (o[:, 0] | (o[:, 1] << 2) | (o[:, 2] << 4) | (o[:, 3] << 6))
-    return ops.reshape(-1).reshape(ops.shape)    # default layout for fetch
+    # default layout for fetch
+    return ops.reshape(-1).reshape(ops.shape), carry[3]
 
 
 def _unpack_ops(packed: np.ndarray) -> np.ndarray:
@@ -390,14 +398,24 @@ def banded_align_cigars(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
         _s, tb, _ej = banded_align_pallas(q, t, qlen, tlen, W=W, d_lo=d_lo,
                                           scores=scores)
         M = tb.shape[0]
-        # the walk consumes ≤ qlen+tlen steps; bucket to multiples of 256
-        # (bounded compile shapes, and a multiple of 4 for 2-bit packing)
+        # the walk consumes ≤ qlen+tlen+(#gap runs) steps (each gap run
+        # costs one no-move state-entry step); bucket to multiples of 256
+        # (bounded compile shapes, and a multiple of 4 for 2-bit packing).
+        # The full bound covers the pathological all-alternating-gap case:
+        # qlen+tlen+min(qlen,tlen)+1 ≤ 3M+W+1.
+        full = -(-(3 * M + W + 4) // 4) * 4
         need = int(np.max(np.asarray(qlen) + np.asarray(tlen))) + 8
-        n_steps = min(2 * M + 3 * W + 12, -(-need // 256) * 256)
-        packed = np.asarray(_walk_device(tb, jnp.asarray(qlen),
-                                         jnp.asarray(tlen), d_lo, n_steps,
-                                         pack=True))
-        ops = _unpack_ops(packed)
+        n_steps = min(full, -(-need // 256) * 256)
+        qj, tj = jnp.asarray(qlen), jnp.asarray(tlen)
+        packed, done = _walk_device(tb, qj, tj, d_lo, n_steps, pack=True)
+        if not bool(np.all(np.asarray(done))):
+            if n_steps >= full:
+                raise AssertionError(
+                    "traceback walk unfinished at the full step bound")
+            packed, done = _walk_device(tb, qj, tj, d_lo, full, pack=True)
+            assert bool(np.all(np.asarray(done))), \
+                "traceback walk unfinished at the full step bound"
+        ops = _unpack_ops(np.asarray(packed))
         return [_rle_column(ops[:, b]) for b in range(B)]
     _s, tb, _ej = banded_align_scan(q, t, qlen, tlen, W=W, d_lo=d_lo,
                                     scores=scores)
@@ -475,7 +493,9 @@ def traceback_cigar(tb: np.ndarray, qlen: int, tlen: int, d_lo: int,
 
     state = 0  # 0=H, 1=E(up/I), 2=F(left/D), 3=E2, 4=F2
     open_bit = {1: TB_E_OPEN, 2: TB_F_OPEN, 3: TB_E2_OPEN, 4: TB_F2_OPEN}
-    guard = qlen + tlen + 2 * W + 10
+    # each gap run costs one no-move state-entry iteration on top of the
+    # qlen+tlen moves, so bound by qlen+tlen+min(qlen,tlen) (+band slack)
+    guard = qlen + tlen + min(qlen, tlen) + 2 * W + 10
     while (i >= 0 or j >= 0) and guard > 0:
         guard -= 1
         if i < 0:
