@@ -92,3 +92,35 @@ def test_wgs_phased_bam(wgs_run):
                 assert isinstance(rec.tags["PS"], int)
                 n_tagged += 1
     assert n_tagged > 0
+
+
+def test_single_chrom_and_bed_modes(wgs_run, tmp_path):
+    """--chrom / --bed restricted vc runs (the reference's single-chromosome
+    mode, volcanosv-vc-large-indel.py:280, and sig_extract -include_bed,
+    filter_GT_correction.py:67-82): restricted output == the chr2 subset of
+    the unrestricted run."""
+    sim, out = wgs_run
+    _h, full = read_vcf(os.path.join(out, "volcanosv_large_indel.vcf"))
+    want = [r for r in full if r.chrom == "chr2"]
+
+    d1 = str(tmp_path / "one")
+    assert main(["vc-large-indel", "--ref", f"{sim}/ref.fa",
+                 "--contig", f"{out}/final_contigs.fa",
+                 "--fastq", f"{sim}/reads.fastq",
+                 "--chrom", "chr2", "-o", d1]) == 0
+    _h, got = read_vcf(os.path.join(d1, "volcanosv_large_indel.vcf"))
+    assert {r.chrom for r in got} <= {"chr2"}
+    assert [(r.pos, r.svtype, r.svlen) for r in got] == \
+        [(r.pos, r.svtype, r.svlen) for r in want]
+
+    bed = tmp_path / "only_chr2.bed"
+    bed.write_text("chr2\t0\t40000\n")
+    d2 = str(tmp_path / "bed")
+    assert main(["vc-large-indel", "--ref", f"{sim}/ref.fa",
+                 "--contig", f"{out}/final_contigs.fa",
+                 "--fastq", f"{sim}/reads.fastq",
+                 "--bed", str(bed), "-o", d2]) == 0
+    _h, got2 = read_vcf(os.path.join(d2, "volcanosv_large_indel.vcf"))
+    assert {r.chrom for r in got2} <= {"chr2"}
+    assert [(r.pos, r.svtype, r.svlen) for r in got2] == \
+        [(r.pos, r.svtype, r.svlen) for r in want]

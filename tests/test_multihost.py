@@ -1,8 +1,10 @@
 """Real multi-process distributed layer: 2 jax.distributed processes on a
 localhost coordinator exercise init_multihost, chromosome-shard ownership,
-the cross-host WGS median collective and a sharded DP step over the GLOBAL
-mesh (tools/multihost.py) — the executable form of the reference's
-'submit 22 SLURM jobs' story (README.md:244-255)."""
+the cross-host WGS median collective from PER-HOST-DISTINCT data, a sharded
+DP step over the GLOBAL mesh, and the REAL vc-large-indel driver across the
+process group — whose rank-0-merged VCF must be byte-identical to a
+single-process run (tools/multihost.py), the executable form of the
+reference's 'submit 22 SLURM jobs' story (README.md:244-255)."""
 import json
 import os
 import subprocess
@@ -18,10 +20,14 @@ def test_two_process_group(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multihost.py"),
          "--out", out],
-        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+        capture_output=True, text=True, timeout=1100, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.load(open(out))
     assert res["ok"] is True
+    # the 2-process vc-large-indel run (different chromosomes per host,
+    # query-sharded alignment, rank-0 merge) equals single-process bytes
+    assert res["pipeline_vcf_identical"] is True
+    assert res["pipeline_vcf_records"] > 0
     assert {row["pid"] for row in res["rows"]} == {0, 1}
     for row in res["rows"]:
         assert row["devices"] == 8          # global device view on each host

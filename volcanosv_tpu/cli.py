@@ -69,15 +69,48 @@ def _align_by_chrom(ref: dict[str, str], seqs: dict[str, str], preset: str):
     return by_chrom, aligner
 
 
+def _align_by_chrom_sharded(ref, seqs, preset: str, out_dir: str, tag: str,
+                            want: list[str] | None = None):
+    """Query-sharded multi-process alignment: each process aligns a
+    contiguous 1/P slice of the query set against the (identical) full
+    reference index, then per-chromosome record lists are exchanged over
+    the shared filesystem so this process receives the chromosomes in
+    `want`.  Byte-identical record sets/order vs the single-process path
+    (parallel.multiproc.exchange_by_chrom); single-process it IS the
+    single-process path."""
+    from .parallel import multiproc as mp
+    if mp.n_processes() == 1:
+        by_chrom, _ = _align_by_chrom(ref, seqs, preset)
+        if want is not None:
+            by_chrom = {c: by_chrom.get(c, []) for c in want}
+        return by_chrom
+    from .aligner import Aligner
+    from .config import AlignConfig
+    items = list(seqs.items())
+    lo, hi = mp.shard_interval(len(items))
+    aligner = Aligner(ref, AlignConfig.preset(preset))
+    chunk = items[lo:hi]
+    recs = aligner.to_bam_records(aligner.align(chunk), dict(chunk))
+    local: dict[str, list] = {c: [] for c in ref}
+    for r in recs:
+        local[aligner.names[r.ref_id]].append(r)
+    log.info("host %d/%d aligned queries [%d:%d) of %d (%s)",
+             mp.process_id(), mp.n_processes(), lo, hi, len(items), tag)
+    return mp.exchange_by_chrom(local, out_dir, tag,
+                                want=want if want is not None else list(ref))
+
+
 def _read_preset(dtype: str) -> str:
     return {"Hifi": "map-hifi", "CLR": "map-pb", "ONT": "map-ont"}[dtype]
 
 
-def _maybe_reads_by_chrom(args, ref):
+def _maybe_reads_by_chrom(args, ref, want: list[str] | None = None):
     if not (getattr(args, "fastq", None) or getattr(args, "bam", None)):
         return None, {}
     read_seqs = _load_reads(args)
-    by_chrom, _ = _align_by_chrom(ref, read_seqs, _read_preset(args.dtype))
+    by_chrom = _align_by_chrom_sharded(ref, read_seqs,
+                                       _read_preset(args.dtype),
+                                       args.out_dir, "reads", want=want)
     return by_chrom, read_seqs
 
 
@@ -88,6 +121,31 @@ def _vcf_out(out_dir: str, name: str, ref: dict[str, str], records) -> str:
     n = write_vcf(path, make_header({c: len(s) for c, s in ref.items()}),
                   records)
     log.info("wrote %d records → %s", n, path)
+    return path
+
+
+def _vcf_out_sharded(out_dir: str, name: str, ref: dict[str, str],
+                     records) -> str:
+    """Multi-process VCF output: each host writes its owned chromosomes'
+    records as a part file, rank 0 merges them in process order — the
+    reference's per-chromosome concat (volcanosv-vc-large-indel.py:266-278
+    + Merge_VCF.py), replacing the round-2 bug where every host wrote the
+    same final path.  Single-process: plain _vcf_out."""
+    from .parallel import multiproc as mp
+    if mp.n_processes() == 1:
+        return _vcf_out(out_dir, name, ref, records)
+    parts_dir = os.path.join(out_dir, "parts")
+    os.makedirs(parts_dir, exist_ok=True)
+    _vcf_out(parts_dir, f"{name}.p{mp.process_id()}.vcf", ref, records)
+    mp.barrier(f"vcf:{name}")
+    path = os.path.join(out_dir, name)
+    if mp.is_rank0():
+        from .io.vcf import merge_vcfs
+        n = merge_vcfs([os.path.join(parts_dir, f"{name}.p{p}.vcf")
+                        for p in range(mp.n_processes())], path)
+        log.info("rank 0 merged %d records from %d parts → %s",
+                 n, mp.n_processes(), path)
+    mp.barrier(f"vcf-merged:{name}")
     return path
 
 
@@ -154,8 +212,16 @@ def _run_asm(ref, read_seqs, args):
     Returns (contigs, phased SNP VcfRecords — the longshot-VCF-equivalent
     output, README.md:237-238).  Per-chromosome results checkpoint to
     <out_dir>/checkpoints/ and are reused under --resume (the reference's
-    log.txt skip-list contract, General_Assembly_Workflow.py:530-547)."""
+    log.txt skip-list contract, General_Assembly_Workflow.py:530-547).
+
+    Multi-process: each host assembles its owned chromosome shard (reads
+    alignment is query-sharded too) and the per-chromosome checkpoint
+    artifacts in the shared out_dir ARE the exchange medium — after the
+    barrier every host loads all chromosomes' contigs/SNPs, so downstream
+    stages see the identical full assembly on every host."""
     from .ops.pack import encode_seq
+    from .parallel import multiproc as mp
+    from .parallel.mesh import host_chromosome_shard
     from .phasing import snp_vcf_records
     from .pipeline.asm import assemble_chromosome
     cfg = PipelineConfig.for_dtype(args.dtype)
@@ -165,69 +231,89 @@ def _run_asm(ref, read_seqs, args):
         from .io.bed import read_bed
         bed = read_bed(args.hybrid_bed)
     chroms = [args.chrom] if getattr(args, "chrom", None) else list(ref)
-    todo = [c for c in chroms
+    multi = mp.n_processes() > 1
+    own = host_chromosome_shard(chroms) if multi else chroms
+    todo = [c for c in own
             if not (ckpt.has(f"asm_{c}.fa") and ckpt.has(f"snps_{c}.vcf"))]
     by_chrom, phased_writer = {}, None
     if todo:
-        by_chrom, aligner = _align_by_chrom(
-            ref, read_seqs, _read_preset(args.dtype))
+        by_chrom = _align_by_chrom_sharded(
+            ref, read_seqs, _read_preset(args.dtype), args.out_dir,
+            "reads_asm", want=own)
         # phased BAM with HP/PS tags — longshot's '-O phased.bam' artifact
-        # (volcanosv-asm.py:75-80; tag semantics prepare_info_v1.py:42-63)
+        # (volcanosv-asm.py:75-80; tag semantics prepare_info_v1.py:42-63);
+        # per-host part files under multi-process (owned chromosomes only)
         from .io.bam import BamWriter
         os.makedirs(args.out_dir, exist_ok=True)
-        phased_writer = BamWriter(os.path.join(args.out_dir, "phased.bam"),
-                                  aligner.names, aligner.lengths)
+        suffix = f"_p{mp.process_id()}" if multi else ""
+        phased_writer = BamWriter(
+            os.path.join(args.out_dir, f"phased{suffix}.bam"),
+            list(ref), [len(s) for s in ref.values()])
+    results: dict[str, tuple[dict, list]] = {}
+    for chrom in own:
+        if chrom not in todo:
+            log.info("resume: reusing checkpointed assembly for %s", chrom)
+            results[chrom] = (ckpt.load_fasta(f"asm_{chrom}.fa"),
+                              ckpt.load_vcf(f"snps_{chrom}.vcf"))
+            continue
+        recs = by_chrom.get(chrom, [])
+        if not recs:
+            ckpt.save_fasta(f"asm_{chrom}.fa", {})
+            ckpt.save_vcf(f"snps_{chrom}.vcf", [])
+            results[chrom] = ({}, [])
+            continue
+        with stage_timer(f"asm[{chrom}]", log):
+            ctgs, ph, part = assemble_chromosome(
+                recs, encode_seq(ref[chrom]), read_seqs, cfg,
+                hybrid_bed=bed.get(chrom))
+        if getattr(args, "emit_fastqs", False):
+            # per-hap FASTQs (write_fastq_asm_general.py:97-142 parity;
+            # double-assigned reads are duplicated into both haps)
+            from .io.fastq import write_fastq
+            fq_dir = os.path.join(args.out_dir, "fastq_by_hap")
+            os.makedirs(fq_dir, exist_ok=True)
+            by_hap: dict[str, list] = {}
+            for rname, haps in part.assignment.items():
+                seq = read_seqs.get(rname)
+                if seq:
+                    for h in haps:
+                        by_hap.setdefault(h, []).append((rname, seq, None))
+            for h, entries in by_hap.items():
+                write_fastq(os.path.join(fq_dir, f"{h}.fastq"), entries)
+        snps = snp_vcf_records(chrom, ph)
+        ckpt.save_fasta(f"asm_{chrom}.fa", ctgs)
+        ckpt.save_vcf(f"snps_{chrom}.vcf", snps)
+        results[chrom] = (ctgs, snps)
+        if phased_writer is not None:
+            hp_of = {n: (int(ph.read_hap[i]), int(ph.read_block[i]))
+                     for i, n in enumerate(ph.read_names)
+                     if ph.read_hap[i] != 0}
+            for r in recs:
+                hp = hp_of.get(r.name)
+                if hp is not None:
+                    r.tags = dict(r.tags or {})
+                    r.tags["HP"] = hp[0]
+                    r.tags["PS"] = hp[1]
+                phased_writer.write(r)
+    if phased_writer is not None:
+        phased_writer.close()
+    mp.barrier("asm-exchange")
     contigs: dict[str, str] = {}
     snp_records = []
     for chrom in chroms:
-        if chrom not in todo:
-            log.info("resume: reusing checkpointed assembly for %s", chrom)
+        if chrom in results:
+            ctgs, snps = results[chrom]
+        elif os.path.exists(ckpt.path(f"asm_{chrom}.fa")):
+            # another host's shard — read its checkpoint artifacts
             ctgs = ckpt.load_fasta(f"asm_{chrom}.fa")
-            snp_records += ckpt.load_vcf(f"snps_{chrom}.vcf")
+            snps = ckpt.load_vcf(f"snps_{chrom}.vcf")
         else:
-            recs = by_chrom.get(chrom, [])
-            if not recs:
-                continue
-            with stage_timer(f"asm[{chrom}]", log):
-                ctgs, ph, part = assemble_chromosome(
-                    recs, encode_seq(ref[chrom]), read_seqs, cfg,
-                    hybrid_bed=bed.get(chrom))
-            if getattr(args, "emit_fastqs", False):
-                # per-hap FASTQs (write_fastq_asm_general.py:97-142 parity;
-                # double-assigned reads are duplicated into both haps)
-                from .io.fastq import write_fastq
-                fq_dir = os.path.join(args.out_dir, "fastq_by_hap")
-                os.makedirs(fq_dir, exist_ok=True)
-                by_hap: dict[str, list] = {}
-                for rname, haps in part.assignment.items():
-                    seq = read_seqs.get(rname)
-                    if seq:
-                        for h in haps:
-                            by_hap.setdefault(h, []).append(
-                                (rname, seq, None))
-                for h, entries in by_hap.items():
-                    write_fastq(os.path.join(fq_dir, f"{h}.fastq"), entries)
-            snps = snp_vcf_records(chrom, ph)
-            ckpt.save_fasta(f"asm_{chrom}.fa", ctgs)
-            ckpt.save_vcf(f"snps_{chrom}.vcf", snps)
-            snp_records += snps
-            if phased_writer is not None:
-                hp_of = {n: (int(ph.read_hap[i]), int(ph.read_block[i]))
-                         for i, n in enumerate(ph.read_names)
-                         if ph.read_hap[i] != 0}
-                for r in recs:
-                    hp = hp_of.get(r.name)
-                    if hp is not None:
-                        r.tags = dict(r.tags or {})
-                        r.tags["HP"] = hp[0]
-                        r.tags["PS"] = hp[1]
-                    phased_writer.write(r)
+            continue
+        snp_records += snps
         for name, seq in ctgs.items():
             while name in contigs:            # cross-chrom PS id collision
                 name += "b"
             contigs[name] = seq
-    if phased_writer is not None:
-        phased_writer.close()
     return contigs, snp_records
 
 
@@ -297,15 +383,17 @@ def cmd_qc(args) -> int:
     return 0
 
 
-def _reads_sigs_cached(args, ref, cfg, reads_by_chrom):
+def _reads_sigs_cached(args, ref, cfg, reads_by_chrom, chroms=None):
     """Per-chrom reads signatures with checkpoint reuse (the -rdsig dir
-    contract, volcanosv-vc-large-indel.py:18-19)."""
+    contract, volcanosv-vc-large-indel.py:18-19).  `chroms` restricts the
+    extraction to this process's owned chromosomes so hosts never write
+    each other's checkpoint artifacts."""
     if reads_by_chrom is None:
         return None
     from .vc.reads_sig import extract_reads_signatures
     ckpt = _ckpt(args)
     sigs = {}
-    for chrom in ref:
+    for chrom in (chroms if chroms is not None else list(ref)):
         name = f"reads_sig_{chrom}.tsv"
         if ckpt.has(name):
             sigs[chrom] = ckpt.load_sigs(name)
@@ -341,7 +429,7 @@ def _pipeline_mesh():
 
 
 def _call_large_indels(ref, by_chrom, contigs, cfg, reads_by_chrom,
-                       reads_sigs, chroms=None):
+                       reads_sigs, chroms=None, include_bed=None):
     """All-chromosome large-indel calling with the WGS-global coverage
     median computed as a genome-axis collective over the device mesh
     (parallel.wgs.wgs_global_median) — the reference's per-run median after
@@ -356,24 +444,37 @@ def _call_large_indels(ref, by_chrom, contigs, cfg, reads_by_chrom,
             raw[chrom] = call_chromosome_raw(
                 chrom, by_chrom.get(chrom, []), ref[chrom], contigs, cfg,
                 reads_records=(reads_by_chrom or {}).get(chrom),
-                reads_sigs=(reads_sigs or {}).get(chrom))
+                reads_sigs=(reads_sigs or {}).get(chrom),
+                include_bed=(include_bed or {}).get(chrom))
     medians: dict[str, float] = {}
     have_sigs = [c for c in chroms if raw[c][1] is not None]
-    if have_sigs and reads_by_chrom:
+    if reads_by_chrom is not None:
+        import numpy as _np
+
+        from .parallel.multiproc import gather_across_processes, n_processes
         from .parallel.wgs import wgs_global_median
-        mesh = _pipeline_mesh()
+        # every process MUST take this branch symmetrically (the gather is
+        # a collective): reads_by_chrom is None on all hosts or none, and
+        # apply_del/apply_ins come from the shared config
+        mesh = _pipeline_mesh() if n_processes() == 1 else None
         for svtype, apply_it in (("DEL", cfg.cov_filter.apply_del),
                                  ("INS", cfg.cov_filter.apply_ins)):
             if not apply_it:
                 continue
             rels = [rel_coverage(raw[c][0], raw[c][1], cfg.cov_filter,
                                  svtype)[1] for c in have_sigs]
-            if sum(len(r) for r in rels) >= cfg.cov_filter.min_calls:
-                with stage_timer("wgs-global-median", log):
-                    medians[svtype] = wgs_global_median(rels, mesh)
-                log.info("WGS-global %s rel_cov median: %.4f (%s)",
-                         svtype, medians[svtype],
-                         "mesh collective" if mesh is not None else "host")
+            local = _np.concatenate(rels) if rels else _np.zeros(0, _np.float32)
+            with stage_timer("wgs-global-median", log):
+                # union of every host's owned-chromosome rel_cov vectors —
+                # the per-run global set the reference medians over after
+                # its all-chromosome concat
+                glob = gather_across_processes(local)
+                if len(glob) < cfg.cov_filter.min_calls:
+                    continue
+                medians[svtype] = wgs_global_median([glob], mesh)
+            log.info("WGS-global %s rel_cov median: %.4f over %d calls (%s)",
+                     svtype, medians[svtype], len(glob),
+                     "mesh collective" if mesh is not None else "host")
     records = []
     for chrom in chroms:
         recs, gt_sigs = raw[chrom]
@@ -383,6 +484,28 @@ def _call_large_indels(ref, by_chrom, contigs, cfg, reads_by_chrom,
     return records
 
 
+def _restrict_chroms(args, chroms: list[str]) -> list[str]:
+    """Apply --chrom / --bed region restriction (the reference's
+    single-chromosome vc mode, volcanosv-vc-large-indel.py:280 +
+    filter_GT_correction.py:67-82)."""
+    one = getattr(args, "chrom", None)
+    if one:
+        chroms = [c for c in chroms if c == one]
+    bed = getattr(args, "_bed_regions", None)
+    if bed:
+        chroms = [c for c in chroms if c in bed]
+    return chroms
+
+
+def _load_bed_regions(args):
+    if getattr(args, "bed", None):
+        from .io.bed import read_bed
+        args._bed_regions = read_bed(args.bed)
+    else:
+        args._bed_regions = None
+    return args._bed_regions
+
+
 def cmd_vc_large_indel(args) -> int:
     from .io.fasta import read_fasta
     from .parallel.mesh import init_multihost
@@ -390,13 +513,17 @@ def cmd_vc_large_indel(args) -> int:
     ref = _load_ref(args.ref)
     contigs = read_fasta(args.contig)
     cfg = PipelineConfig.for_dtype(args.dtype, asm=getattr(args, "asm", "volcano"))
-    by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
-    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
-    reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom)
+    bed = _load_bed_regions(args)
+    chroms = _restrict_chroms(args, _own_chroms(ref))
+    by_chrom = _align_by_chrom_sharded(ref, contigs, "asm5", args.out_dir,
+                                       "contigs_asm5", want=chroms)
+    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref, want=chroms)
+    reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom,
+                                    chroms=chroms)
     records = _call_large_indels(ref, by_chrom, contigs, cfg,
                                  reads_by_chrom, reads_sigs,
-                                 chroms=_own_chroms(ref))
-    _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, records)
+                                 chroms=chroms, include_bed=bed)
+    _vcf_out_sharded(args.out_dir, "volcanosv_large_indel.vcf", ref, records)
     return 0
 
 
@@ -406,10 +533,11 @@ def cmd_vc_small_indel(args) -> int:
     ref = _load_ref(args.ref)
     contigs = read_fasta(args.contig)
     cfg = PipelineConfig.for_dtype(args.dtype)
+    _load_bed_regions(args)
     by_chrom, _ = _align_by_chrom(ref, contigs, "asm20")
     reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
     records = []
-    for chrom in ref:
+    for chrom in _restrict_chroms(args, list(ref)):
         with stage_timer(f"small-indel[{chrom}]", log):
             records += call_small_indels(
                 chrom, by_chrom.get(chrom, []), ref[chrom], cfg,
@@ -425,14 +553,18 @@ def cmd_vc_complex_sv(args) -> int:
     ref = _load_ref(args.ref)
     contigs = read_fasta(args.contig)
     cfg = PipelineConfig.for_dtype(args.dtype)
+    _load_bed_regions(args)
     by_chrom, _ = _align_by_chrom(ref, contigs, "asm10")
     reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
+    chroms = _restrict_chroms(args, list(ref))
     # INS calls for DUP recovery (volcanosv-vc-complex-sv.py:131-138)
     ins_records = []
-    for chrom in ref:
+    for chrom in chroms:
         ins_records += [r for r in call_chromosome(
             chrom, by_chrom.get(chrom, []), ref[chrom], contigs, cfg)
             if r.svtype == "INS"]
+    if len(chroms) != len(ref):
+        by_chrom = {c: by_chrom.get(c, []) for c in chroms}
     with stage_timer("complex-sv", log):
         records = call_complex_svs(by_chrom, ref, cfg,
                                    ins_records=ins_records,
@@ -460,9 +592,16 @@ def cmd_merge_vcf(args) -> int:
 
 
 def cmd_run(args) -> int:
-    """Full pipeline: asm + all three vc paths + merge (one command)."""
+    """Full pipeline: asm + all three vc paths + merge (one command).
+
+    Multi-process (jax.distributed): assembly and the per-chromosome vc
+    stages run on each host's chromosome shard with query-sharded
+    alignment; finalized large-indel records are exchanged so the
+    (WGS-only, svim-asm-style) complex-SV stage sees the global INS set on
+    every host; rank 0 writes the complex VCF and the final merge."""
     from .io.fasta import write_fasta
     from .io.vcf import merge_vcfs
+    from .parallel import multiproc as mp
     from .parallel.mesh import init_multihost
     from .vc.complex_sv import call_complex_svs
     from .vc.small_indel import call_small_indels
@@ -474,45 +613,75 @@ def cmd_run(args) -> int:
         return 2
     cfg = PipelineConfig.for_dtype(args.dtype)
     os.makedirs(args.out_dir, exist_ok=True)
+    multi = mp.n_processes() > 1
+    own = _own_chroms(ref)
 
     contigs, snp_records = _run_asm(ref, read_seqs, args)
-    write_fasta(os.path.join(args.out_dir, "final_contigs.fa"), contigs)
-    _vcf_out(args.out_dir, "phased_snps.vcf", ref, snp_records)
+    if mp.is_rank0():
+        write_fasta(os.path.join(args.out_dir, "final_contigs.fa"), contigs)
+        _vcf_out(args.out_dir, "phased_snps.vcf", ref, snp_records)
     log.info("assembly: %d contigs", len(contigs))
 
-    reads_by_chrom, _ = _align_by_chrom(ref, read_seqs,
-                                        _read_preset(args.dtype))
-    li_by_chrom, _ = _align_by_chrom(ref, contigs, "asm5")
-    reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom)
-    large = _call_large_indels(ref, li_by_chrom, contigs, cfg,
-                               reads_by_chrom, reads_sigs)
+    # complex-SV (WGS stage) needs every chromosome's reads/alignments, so
+    # the query-sharded alignments exchange with want=all
+    reads_by_chrom = _align_by_chrom_sharded(
+        ref, read_seqs, _read_preset(args.dtype), args.out_dir, "reads_run")
+    li_by_chrom = _align_by_chrom_sharded(ref, contigs, "asm5",
+                                          args.out_dir, "ctg_asm5")
+    reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom,
+                                    chroms=own)
+    large_own = _call_large_indels(ref, li_by_chrom, contigs, cfg,
+                                   reads_by_chrom, reads_sigs, chroms=own)
+    # global finalized record set on every host (drives DUP recovery and
+    # the consumed-INS dedup identically everywhere)
+    large_by_chrom: dict[str, list] = {c: [] for c in ref}
+    for r in large_own:
+        large_by_chrom[r.chrom].append(r)
+    large_by_chrom = mp.exchange_by_chrom(large_by_chrom, args.out_dir,
+                                          "large_recs", want=list(ref))
+    large = [r for c in ref for r in large_by_chrom.get(c, [])]
+    # normalize record order so single- and multi-process paths drive the
+    # DUP recovery / complex stage identically (emission order is not
+    # preserved across the exchange)
+    _rank = {c: i for i, c in enumerate(ref)}
+    large.sort(key=lambda r: (_rank[r.chrom], r.pos, r.id))
     ins_records = [r for r in large if r.svtype == "INS"]
 
-    si_by_chrom, _ = _align_by_chrom(ref, contigs, "asm20")
+    si_by_chrom = _align_by_chrom_sharded(ref, contigs, "asm20",
+                                          args.out_dir, "ctg_asm20",
+                                          want=own)
     small = []
-    for chrom in ref:
+    for chrom in own:
         small += call_small_indels(chrom, si_by_chrom.get(chrom, []),
                                    ref[chrom], cfg,
                                    reads_records=reads_by_chrom.get(chrom))
-    p_small = _vcf_out(args.out_dir, "volcanosv_small_indel.vcf", ref, small)
+    p_small = _vcf_out_sharded(args.out_dir, "volcanosv_small_indel.vcf",
+                               ref, small)
 
-    cx_by_chrom, _ = _align_by_chrom(ref, contigs, "asm10")
+    cx_by_chrom = _align_by_chrom_sharded(ref, contigs, "asm10",
+                                          args.out_dir, "ctg_asm10")
     consumed: set = set()
     complex_recs = call_complex_svs(cx_by_chrom, ref, cfg,
                                     ins_records=ins_records,
                                     reads_by_chrom=reads_by_chrom,
                                     consumed_ins=consumed)
-    p_cx = _vcf_out(args.out_dir, "volcanosv_complex_sv.vcf", ref,
-                    complex_recs)
+    p_cx = os.path.join(args.out_dir, "volcanosv_complex_sv.vcf")
+    if mp.is_rank0():
+        _vcf_out(args.out_dir, "volcanosv_complex_sv.vcf", ref, complex_recs)
     if consumed:
         # an INS the DUP recovery reclassified is reported once, as <DUP>
         # (align_ins2ref.py role)
         large = [r for r in large if r.id not in consumed]
-    p_large = _vcf_out(args.out_dir, "volcanosv_large_indel.vcf", ref, large)
+    # each host writes its owned chromosomes' share of the global set
+    large_mine = [r for r in large if not multi or r.chrom in own]
+    p_large = _vcf_out_sharded(args.out_dir, "volcanosv_large_indel.vcf",
+                               ref, large_mine)
 
     out = os.path.join(args.out_dir, "volcanosv_variants.vcf")
-    n = merge_vcfs([p_large, p_small, p_cx], out)
-    log.info("FINAL: %d variants → %s", n, out)
+    if mp.is_rank0():
+        n = merge_vcfs([p_large, p_small, p_cx], out)
+        log.info("FINAL: %d variants → %s", n, out)
+    mp.barrier("run-final")
     return 0
 
 
@@ -530,6 +699,14 @@ def _add_common(p, contig=False, reads=True):
                        choices=["volcano", "other"],
                        help="coverage-band profile row (filter_para.csv "
                             "asm column; 'other' for imported assemblies)")
+        p.add_argument("--chrom",
+                       help="restrict calling to one chromosome "
+                            "(single-chrom mode, "
+                            "volcanosv-vc-large-indel.py:280)")
+        p.add_argument("--bed",
+                       help="BED restricting calling + the GT-signature "
+                            "task grid (sig_extract -include_bed, "
+                            "filter_GT_correction.py:67-82)")
     if reads:
         p.add_argument("--fastq", help="reads FASTQ(.gz)")
         p.add_argument("--bam", help="reads BAM")

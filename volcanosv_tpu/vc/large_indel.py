@@ -163,11 +163,13 @@ def call_chromosome_raw(
     cfg: PipelineConfig,
     reads_records: list[BamRecord] | None = None,
     reads_sigs: list[Signature] | None = None,
+    include_bed: list[tuple[int, int]] | None = None,
 ) -> tuple[list[VcfRecord], list[Signature] | None]:
     """Per-chromosome raw calling up to redundancy removal (the
     Raw_variant_call.py stage).  Returns (records, gt_sigs) where gt_sigs
     is the merged cuteSV-style read-signature stream feeding the
-    filter_GT_correction.py chain (None without reads)."""
+    filter_GT_correction.py chain (None without reads).  include_bed
+    restricts the GT-signature task grid (sig_extract -include_bed)."""
     sig_hp1 = extract_contig_signatures(contig_records, chrom, "hp1",
                                         cfg.signature)
     sig_hp2 = extract_contig_signatures(contig_records, chrom, "hp2",
@@ -184,7 +186,8 @@ def call_chromosome_raw(
     gt_sigs = None
     if reads_records is not None:
         gt_sigs = extract_gt_read_sigs(reads_records, chrom,
-                                       cfg.gt_correction)
+                                       cfg.gt_correction,
+                                       include_bed=include_bed)
     elif reads_sigs is not None:
         gt_sigs = reads_sigs       # pre-computed -rdsig fallback (unmerged)
     return records, gt_sigs

@@ -118,12 +118,17 @@ def merge_read_sigs(sigs: list[Signature], svtype: str, merge_dis: int
 def extract_gt_read_sigs(
     records: list[BamRecord], chrom: str, cfg: GTCorrectionConfig,
     min_mapq: int = 20, min_read_len: int = 500,
+    include_bed: list[tuple[int, int]] | None = None,
 ) -> list[Signature]:
     """Task-grid wrapper: the genome is decomposed into task_window bins
     (the reference's 10Mb batches, sig_extract.py:603-644 main_ctrl) — each
     read is processed in the bin its alignment starts in, so bins are
     embarrassingly parallel and peak memory is per-bin.  Results are the
-    pos-sorted concat (the reference's sort|uniq reduce)."""
+    pos-sorted concat (the reference's sort|uniq reduce).
+
+    include_bed restricts the task grid to bins intersecting the given
+    [start, end) intervals — sig_extract.py's `-include_bed` contract
+    (BED-restricted single-chromosome runs, filter_GT_correction.py:67-82)."""
     if not records:
         return []
     win = max(int(cfg.task_window), 1)
@@ -138,6 +143,11 @@ def extract_gt_read_sigs(
     bins: dict[int, list[BamRecord]] = {}
     for r in records:
         bins.setdefault(first_pos[r.name] // win, []).append(r)
+    if include_bed is not None:
+        def _hits(b: int) -> bool:
+            lo, hi = b * win, (b + 1) * win
+            return any(s < hi and e > lo for s, e in include_bed)
+        bins = {b: rs for b, rs in bins.items() if _hits(b)}
     out: list[Signature] = []
     for b in sorted(bins):
         out.extend(_extract_gt_read_sigs_task(bins[b], chrom, cfg,
