@@ -134,14 +134,18 @@ def bench_vpu_peak():
 
 def bench_reads_aligned():
     """End-to-end reads/s and bp/s through Aligner.align (sketch → chain →
-    banded DP → CIGAR), the pipeline's map-hifi read-alignment path."""
+    banded DP → CIGAR), the pipeline's map-hifi read-alignment path.
+
+    Workload: 2000 × 8kb reads over an 800kb reference — big enough to
+    amortize the per-call fixed costs (RPC round-trips over the tunneled
+    chip) the way chromosome-scale batches do in the pipeline."""
     from volcanosv_tpu.aligner import Aligner
     from volcanosv_tpu.config import AlignConfig
     from volcanosv_tpu.sim import random_genome, simulate_reads
 
     rng = np.random.default_rng(1)
-    ref = random_genome(rng, 200_000)
-    reads = simulate_reads(rng, {1: ref}, coverage=10.0,
+    ref = random_genome(rng, 800_000)
+    reads = simulate_reads(rng, {1: ref}, coverage=20.0,
                            read_len=8_000, sub_rate=0.002, indel_rate=0.001)
     read_seqs = [(n, s) for n, s, *_ in reads]
     total_bp = sum(len(s) for _, s in read_seqs)

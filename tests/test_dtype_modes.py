@@ -27,10 +27,12 @@ def test_dtype_configs_differ():
     assert clr.gt_correction.del_thresholds != hifi.gt_correction.del_thresholds
 
 
-@pytest.mark.parametrize("dtype,err", [("CLR", 0.08), ("ONT", 0.05)])
-def test_noisy_dtype_pipeline(tmp_path, dtype, err):
-    """Realistic platform error rates: CLR ~8-15%, ONT ~5% (the reference
-    assumes longshot + alignment-tolerant assemblers absorb this)."""
+@pytest.mark.parametrize("dtype,err,min_recall",
+                         [("CLR", 0.09, 0.85), ("ONT", 0.06, 0.85)])
+def test_noisy_dtype_pipeline(tmp_path, dtype, err, min_recall):
+    """Realistic platform error rates (`--err E` simulates E subs + E/2
+    indels → 1.5·E total): CLR at 13.5% total error, ONT at 9% — the
+    rates the reference's per-dtype parameter tables are tuned for."""
     sim_dir, out = str(tmp_path / "sim"), str(tmp_path / "out")
     assert main(["sim", "-o", sim_dir, "--length", "30000", "--n_del", "2",
                  "--n_ins", "2", "--coverage", "30", "--read_len", "5000",
@@ -41,7 +43,7 @@ def test_noisy_dtype_pipeline(tmp_path, dtype, err):
     res = evaluate_files(os.path.join(sim_dir, "truth.vcf"),
                          os.path.join(out, "volcanosv_variants.vcf"),
                          EvalParams(pctsim=0.0))
-    assert res.recall >= 0.75, (dtype, res.summary())
+    assert res.recall >= min_recall, (dtype, res.summary())
     _h, snps = read_vcf(os.path.join(out, "phased_snps.vcf"))
     # noisy reads must not flood the SNP caller (af/depth bands hold)
     assert len(snps) < 1500, len(snps)

@@ -101,8 +101,11 @@ def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
     ('win', window_index)."""
     k = cfg.k
     aq, at = chain.anchors_q, chain.anchors_t
-    order = np.lexsort((at, aq))
-    aq, at = aq[order], at[order]
+    # chains arrive (t, q)-sorted from the chain DP — skip the O(n log n)
+    # lexsort when aq is already strictly increasing (the common case)
+    if len(aq) > 1 and not bool(np.all(aq[1:] > aq[:-1])):
+        order = np.lexsort((at, aq))
+        aq, at = aq[order], at[order]
     # drop anchors that go backwards in either coordinate (not colinear);
     # chains are almost always already strictly increasing — only run the
     # sequential filter when a violation exists
@@ -119,6 +122,12 @@ def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
         dq_all = np.diff(aq)
         dt_all = np.diff(at)
 
+    # NOTE a whole-chain "DP everything" fast path (tile the chain into
+    # uniform windows, no skeleton) was tried and reverted: it fetches
+    # ~0.5 byte of packed traceback per aligned base, which loses badly on
+    # fetch-limited backends (the tunneled chip moves device→host at
+    # ~17 MB/s).  The sparse skeleton below only sends the IRREGULAR gap
+    # windows to the device, so fetched bytes scale with #indels, not bp.
     skeleton: list = []
 
     def emit(op, ln):
@@ -165,27 +174,71 @@ def _plan_chain(qc: np.ndarray, tget, chain: Chain, cfg: AlignConfig,
     return skeleton, int(aq[0]), int(at[0])
 
 
-def _run_refine(ws: list[_Window], scores: Scores = Scores()):
-    """Batch all 'refine' windows by bucket; exact traceback CIGARs.
+class _RefinePipeline:
+    """Streaming refine-window executor: collects windows by bucket as the
+    planner emits them (it quacks like the `windows` list _plan_chain
+    appends to) and DISPATCHES a device batch whenever a bucket fills —
+    the device crunches DP while the host is still seeding/chaining the
+    next queries.  finalize() flushes partial buckets, then fetches and
+    decodes all results in dispatch order.
 
     One compiled shape per M bucket: targets always pad to mb + _REFINE_W
     (refine windows satisfy dt ≤ dq + _REFINE_MAX_DIAG < mb + _REFINE_W),
-    keeping the compile count at len(_BUCKETS) instead of its square."""
-    from .ops.pack import pad_codes
-    groups: dict[tuple[int, int], list[_Window]] = {}
-    for w in ws:
-        mb = _bucket(max(len(w.q_codes), len(w.t_codes) - _REFINE_W + 1))
+    keeping the compile count at len(_BUCKETS) instead of its square.
+    Buckets floor at 256: merging 128 into 256 trades a few cheap device
+    cells for one fewer fetch round-trip per flush."""
+
+    def __init__(self, scores: Scores, flush_at: int = 4096):
+        self.scores = scores
+        self.flush_at = flush_at
+        self.groups: dict[tuple[int, int], list[_Window]] = {}
+        self.pending: list = []
+        self.split: list[_Window] = []
+
+    def append(self, w: _Window) -> None:
+        if w.kind != "refine":
+            self.split.append(w)
+            return
+        mb = max(256, _bucket(max(len(w.q_codes),
+                                  len(w.t_codes) - _REFINE_W + 1)))
         key = (mb, mb + _REFINE_W)
-        groups.setdefault(key, []).append(w)
-    for (mb, nb), grp in groups.items():
+        grp = self.groups.setdefault(key, [])
+        grp.append(w)
+        if len(grp) >= self.flush_at:
+            self._flush(key)
+
+    def _flush(self, key: tuple[int, int]) -> None:
+        from .ops.banded_align import banded_align_cigars_dispatch
+        from .ops.pack import pad_codes
+        grp = self.groups.pop(key, [])
+        if not grp:
+            return
+        mb, nb = key
         q_pad, qlen = pad_codes([w.q_codes for w in grp], pad_to=mb)
         t_pad, tlen = pad_codes([w.t_codes for w in grp], pad_to=nb)
-        q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad, qlen, tlen)
-        cigs = banded_align_cigars(
+        q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad,
+                                                      qlen, tlen)
+        self.pending.append((grp, banded_align_cigars_dispatch(
             q_pad, t_pad, qlen, tlen, W=_REFINE_W, d_lo=_REFINE_DLO,
-            scores=scores)
-        for i, w in enumerate(grp):
-            w.result = cigs[i]
+            scores=self.scores)))
+
+    def finalize(self) -> None:
+        for key in list(self.groups):
+            self._flush(key)
+        for grp, finish in self.pending:
+            cigs = finish()
+            for i, w in enumerate(grp):
+                w.result = cigs[i]
+        self.pending = []
+
+
+def _run_refine(ws: list[_Window], scores: Scores = Scores()):
+    """Batch-execute refine windows (list-input convenience wrapper over
+    _RefinePipeline, used by tests and non-streaming callers)."""
+    pipe = _RefinePipeline(scores)
+    for w in ws:
+        pipe.append(w)
+    pipe.finalize()
 
 
 def _run_split(ws: list[_Window]):
@@ -260,23 +313,60 @@ class Aligner:
         off = int(self.index.offsets[idx])
         return self.ref_codes[self.names[idx]][a - off : b - off]
 
+    def _seed_chain_stream(self, queries: list[tuple[str, str]],
+                           max_chains: int, chunk: int = 128):
+        """Yields (qname, qc_fwd, chains) per query.
+
+        Native path: the fused seed_chain_batch kernel runs per chunk on a
+        prefetch thread (ctypes releases the GIL), so chunk i+1's
+        sketch/lookup/chain overlaps the python planning of chunk i.
+        Fallback: the per-query numpy path (identical outputs)."""
+        from .native import get_lib
+        from .ops.chain import seed_chain_batch
+        cfg = self.cfg
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "seed_chain_batch"):
+            for qname, qseq in queries:
+                qc_fwd = encode_seq(qseq)
+                qp, qh, qs = sketch_np(qc_fwd, cfg.k, cfg.w)
+                chains = []
+                if len(qp):
+                    t_pos, q_pos, strand = self.index.anchors(qp, qh, qs)
+                    chains = chain_anchors(t_pos, q_pos, strand, len(qc_fwd),
+                                           cfg, max_chains=max_chains)
+                yield qname, qc_fwd, chains
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def job(part):
+            qcs = [encode_seq(s) for _, s in part]
+            return qcs, seed_chain_batch(qcs, self.index, cfg, max_chains)
+
+        parts = [queries[i:i + chunk] for i in range(0, len(queries), chunk)]
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(job, parts[0]) if parts else None
+            for i, part in enumerate(parts):
+                qcs, batched = fut.result()
+                fut = ex.submit(job, parts[i + 1]) \
+                    if i + 1 < len(parts) else None
+                for (qname, _qseq), qc_fwd, chains in zip(part, qcs, batched):
+                    yield qname, qc_fwd, chains
+
     def align(self, queries: list[tuple[str, str]],
               max_chains_per_query: int = 16) -> list[Alignment]:
         """Align queries (name, seq); returns primary + supplementary
         alignments with exact CIGARs."""
         cfg = self.cfg
         plans = []   # (qname, qlen, chain, skeleton, first_aq, first_at, qc)
-        windows: list[_Window] = []
+        # refine windows stream straight into the device pipeline (full
+        # buckets dispatch while later queries are still seeding/chaining)
+        pipe = _RefinePipeline(self.scores)
         with stage_timer("seed_chain", log):
-            for qname, qseq in queries:
-                qc_fwd = encode_seq(qseq)
+            for qname, qc_fwd, chains in self._seed_chain_stream(
+                    queries, max_chains_per_query):
                 qlen = len(qc_fwd)
-                qp, qh, qs = sketch_np(qc_fwd, cfg.k, cfg.w)
-                if len(qp) == 0:
+                if not chains:
                     continue
-                t_pos, q_pos, strand = self.index.anchors(qp, qh, qs)
-                chains = chain_anchors(t_pos, q_pos, strand, qlen, cfg,
-                                       max_chains=max_chains_per_query)
                 chains = self._select(chains, qlen)
                 qc_rev = None
                 for rank, ch in enumerate(chains):
@@ -292,12 +382,11 @@ class Aligner:
                     else:
                         qc = qc_fwd
                     skeleton, aq0, at0 = _plan_chain(
-                        qc, self._tget, ch, cfg, len(plans), windows)
+                        qc, self._tget, ch, cfg, len(plans), pipe)
                     plans.append((qname, qlen, ch, skeleton, aq0, at0, rank))
         with stage_timer("dp_windows", log):
-            _run_refine([w for w in windows if w.kind == "refine"],
-                        scores=self.scores)
-            _run_split([w for w in windows if w.kind == "split"])
+            pipe.finalize()
+            _run_split(pipe.split)
         with stage_timer("assemble", log):
             return self._assemble(plans)
 

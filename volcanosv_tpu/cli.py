@@ -421,11 +421,17 @@ def _own_chroms(ref: dict[str, str]) -> list[str]:
 
 def _pipeline_mesh():
     """The (genome, data) mesh the drivers run collectives over — None when
-    only one device is visible (serial fallback path)."""
+    only one device is visible (serial fallback path).  Installing it as
+    the ACTIVE mesh also routes the aligner's DP window batches through
+    the shard_map path (ops.banded_align._sharded_cigars_dispatch)."""
     import jax
 
     from .parallel import make_mesh
-    return make_mesh() if len(jax.devices()) > 1 else None
+    from .parallel.mesh import set_active_mesh
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if jax.process_count() == 1:
+        set_active_mesh(mesh)
+    return mesh
 
 
 def _call_large_indels(ref, by_chrom, contigs, cfg, reads_by_chrom,

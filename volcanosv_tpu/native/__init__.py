@@ -13,7 +13,7 @@ import os
 import subprocess
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "bamscan.cpp", "sketch.cpp"]
+_SOURCES = ["chain.cpp", "bamscan.cpp", "sketch.cpp", "seedchain.cpp"]
 
 
 def _lib_path() -> str:
@@ -87,6 +87,31 @@ def _configure(lib) -> None:
     lib.bam_scan.restype = ctypes.POINTER(BamScanStruct)
     lib.bam_scan_free.argtypes = [ctypes.POINTER(BamScanStruct)]
     lib.bam_scan_free.restype = None
+
+    lib.seed_chain_batch.argtypes = [
+        i8p, i64p, ctypes.c_int64,                      # codes, q_off, n
+        ctypes.c_int32, ctypes.c_int32,                 # k, w
+        u32p, i64p, i8p, ctypes.c_int64, ctypes.c_int32,  # index, max_hits
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,  # chain params
+        ctypes.c_int32]                                  # n_threads
+    lib.seed_chain_batch.restype = ctypes.POINTER(SeedChainStruct)
+    lib.seed_chain_free.argtypes = [ctypes.POINTER(SeedChainStruct)]
+    lib.seed_chain_free.restype = None
+
+
+class SeedChainStruct(ctypes.Structure):
+    """Mirror of SeedChainResult in seedchain.cpp (field order must match)."""
+    _fields_ = [
+        ("n_chains", ctypes.c_int64),
+        ("n_anchors", ctypes.c_int64),
+        ("chain_query", ctypes.POINTER(ctypes.c_int32)),
+        ("chain_strand", ctypes.POINTER(ctypes.c_int8)),
+        ("chain_score", ctypes.POINTER(ctypes.c_float)),
+        ("anchor_off", ctypes.POINTER(ctypes.c_int64)),
+        ("aq", ctypes.POINTER(ctypes.c_int64)),
+        ("at", ctypes.POINTER(ctypes.c_int64)),
+    ]
 
 
 class BamScanStruct(ctypes.Structure):

@@ -385,13 +385,111 @@ def _rle_column(col: np.ndarray) -> list[tuple[int, int]]:
     return [(int(col[s]), int(e - s)) for s, e in zip(starts, stops)]
 
 
-def banded_align_cigars(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
-                        scores: Scores = Scores()) -> list:
-    """Batched global banded alignment → exact CIGARs, one per row.
+def _rle_columns(ops: np.ndarray, n_cols: int) -> list[list[tuple[int, int]]]:
+    """Vectorized _rle_column over the first n_cols columns of a reverse-
+    order (steps, B) op stream: one numpy pass over the whole batch instead
+    of a python loop per alignment (the CIGAR-decode stage was the hottest
+    host step at B≈4k windows)."""
+    steps = ops.shape[0]
+    fwd = ops[::-1, :n_cols].T                      # (n_cols, steps) forward
+    flat = fwd.reshape(-1)
+    keep = flat != 3
+    f = flat[keep]
+    if len(f) == 0:
+        return [[] for _ in range(n_cols)]
+    col = np.repeat(np.arange(n_cols, dtype=np.int64), steps)[keep]
+    brk = np.nonzero((f[1:] != f[:-1]) | (col[1:] != col[:-1]))[0] + 1
+    starts = np.concatenate([[0], brk])
+    stops = np.concatenate([brk, [len(f)]])
+    run_op = f[starts].tolist()
+    run_len = (stops - starts).tolist()
+    run_col = col[starts].tolist()
+    out: list[list[tuple[int, int]]] = [[] for _ in range(n_cols)]
+    for o, ln, c in zip(run_op, run_len, run_col):
+        out[c].append((int(o), int(ln)))
+    return out
 
-    On TPU the traceback WALK runs on device (lax.scan over the Pallas
-    traceback) and only the op stream crosses the wire; elsewhere the scan
-    kernel + host walk is used."""
+
+def _sharded_cigars_dispatch(mesh, q, t, qlen, tlen, W: int, d_lo: int,
+                             scores: Scores):
+    """shard_map'ed DP + traceback walk over the mesh's batch axes: each
+    device runs the kernel on its 1/N slice of the window batch (the
+    pipeline's data-parallel axis; scaling measured by tools/scaling.py on
+    the virtual CPU mesh, real ICI scaling on a pod).  Returns a finish()
+    closure like banded_align_cigars_dispatch."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import AXES
+    B, M = q.shape
+    n_dev = mesh.devices.size
+    use_pallas = _tpu_backend() and M % 8 == 0 and (B // n_dev) % 128 == 0
+    full = -(-(3 * M + W + 4) // 4) * 4
+    need = int(np.max(np.asarray(qlen) + np.asarray(tlen))) + 8
+    n_steps = min(full, -(-need // 256) * 256)
+
+    def body(qs, ts, qls, tls):
+        if use_pallas:
+            from .pallas.banded_dp import _banded_pallas_jit
+            _s, tb, _e, _r = _banded_pallas_jit(
+                qs, ts, qls, tls, W=W, d_lo=d_lo, scores=scores,
+                with_traceback=True, free_t_end=False, row0_scores=False,
+                interpret=False)
+        else:
+            _s, tb_scan, _e = banded_align_scan(
+                qs, ts, qls, tls, W=W, d_lo=d_lo, scores=scores)
+            tb = jnp.transpose(tb_scan, (0, 2, 1))       # (M,B,W)→(M,W,B)
+        return _walk_device(tb, qls, tls, d_lo, n_steps, pack=True)
+
+    spec = P((AXES.genome, AXES.data))
+    fn = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec, spec),
+        out_specs=(P(None, (AXES.genome, AXES.data)), spec),
+        check_vma=False))
+    sh = NamedSharding(mesh, spec)
+    qd = jax.device_put(np.asarray(q), sh)
+    td = jax.device_put(np.asarray(t), sh)
+    qld = jax.device_put(np.asarray(qlen, np.int32), sh)
+    tld = jax.device_put(np.asarray(tlen, np.int32), sh)
+    packed, _dn = fn(qd, td, qld, tld)
+    ql_np, tl_np = np.asarray(qlen), np.asarray(tlen)
+
+    def _complete(ops):
+        cq = np.count_nonzero((ops == 0) | (ops == 1), axis=0)
+        ct = np.count_nonzero((ops == 0) | (ops == 2), axis=0)
+        return bool(np.all(cq == ql_np) and np.all(ct == tl_np))
+
+    def finish():
+        ops = _unpack_ops(np.asarray(packed))
+        if not _complete(ops):
+            assert n_steps < full, \
+                "traceback walk unfinished at the full step bound"
+            # rare gap-dense batch: rerun serially with the full bound
+            return banded_align_cigars(np.asarray(q), np.asarray(t),
+                                       ql_np, tl_np, W=W, d_lo=d_lo,
+                                       scores=scores)
+        return _rle_columns(ops, B)
+
+    return finish
+
+
+def banded_align_cigars_dispatch(q, t, qlen, tlen, W: int = 256,
+                                 d_lo: int = -64, scores: Scores = Scores()):
+    """Async half of banded_align_cigars: launches the device work (DP +
+    on-device traceback walk) WITHOUT fetching, and returns a finish()
+    closure producing the CIGAR list.  Callers dispatch every bucket group
+    first, then finish in order — the device pipelines all groups while the
+    host run-length-decodes earlier ones.
+
+    With an active pipeline mesh (parallel.mesh.set_active_mesh) the batch
+    is shard_map'ed over the mesh's batch axes instead."""
+    from ..parallel.mesh import active_mesh
+    mesh = active_mesh()
+    if (mesh is not None and mesh.devices.size > 1
+            and q.shape[0] % mesh.devices.size == 0):
+        return _sharded_cigars_dispatch(mesh, q, t, qlen, tlen, W, d_lo,
+                                        scores)
     B = q.shape[0]
     if _tpu_backend() and q.shape[1] % 8 == 0:
         from .pallas import banded_align_pallas
@@ -407,21 +505,52 @@ def banded_align_cigars(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
         need = int(np.max(np.asarray(qlen) + np.asarray(tlen))) + 8
         n_steps = min(full, -(-need // 256) * 256)
         qj, tj = jnp.asarray(qlen), jnp.asarray(tlen)
-        packed, done = _walk_device(tb, qj, tj, d_lo, n_steps, pack=True)
-        if not bool(np.all(np.asarray(done))):
-            if n_steps >= full:
-                raise AssertionError(
-                    "traceback walk unfinished at the full step bound")
-            packed, done = _walk_device(tb, qj, tj, d_lo, full, pack=True)
-            assert bool(np.all(np.asarray(done))), \
-                "traceback walk unfinished at the full step bound"
-        ops = _unpack_ops(np.asarray(packed))
-        return [_rle_column(ops[:, b]) for b in range(B)]
+        packed, _dn = _walk_device(tb, qj, tj, d_lo, n_steps, pack=True)
+        ql_np = np.asarray(qlen)
+        tl_np = np.asarray(tlen)
+
+        def _complete(ops):
+            """Host-side completeness check: the decoded op stream must
+            consume exactly qlen query and tlen target bases per row —
+            catches walks truncated by the bucketed step bound WITHOUT a
+            second (RPC round-trip) fetch of the device done flags."""
+            cq = np.count_nonzero((ops == 0) | (ops == 1), axis=0)
+            ct = np.count_nonzero((ops == 0) | (ops == 2), axis=0)
+            return bool(np.all(cq == ql_np) and np.all(ct == tl_np))
+
+        def finish():
+            ops = _unpack_ops(np.asarray(packed))       # one fetch
+            if not _complete(ops):
+                if n_steps >= full:
+                    raise AssertionError(
+                        "traceback walk unfinished at the full step bound")
+                p2, _ = _walk_device(tb, qj, tj, d_lo, full, pack=True)
+                ops = _unpack_ops(np.asarray(p2))
+                assert _complete(ops), \
+                    "traceback walk unfinished at the full step bound"
+            return _rle_columns(ops, B)
+
+        return finish
     _s, tb, _ej = banded_align_scan(q, t, qlen, tlen, W=W, d_lo=d_lo,
                                     scores=scores)
-    tb_np = np.asarray(tb)
-    return [traceback_cigar(tb_np[:, b], int(qlen[b]), int(tlen[b]),
-                            d_lo=d_lo) for b in range(B)]
+
+    def finish_scan():
+        tb_np = np.asarray(tb)
+        return [traceback_cigar(tb_np[:, b], int(qlen[b]), int(tlen[b]),
+                                d_lo=d_lo) for b in range(B)]
+
+    return finish_scan
+
+
+def banded_align_cigars(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,
+                        scores: Scores = Scores()) -> list:
+    """Batched global banded alignment → exact CIGARs, one per row.
+
+    On TPU the traceback WALK runs on device (lax.scan over the Pallas
+    traceback) and only the op stream crosses the wire; elsewhere the scan
+    kernel + host walk is used."""
+    return banded_align_cigars_dispatch(q, t, qlen, tlen, W=W, d_lo=d_lo,
+                                        scores=scores)()
 
 
 def banded_align_auto(q, t, qlen, tlen, W: int = 256, d_lo: int = -64,

@@ -81,6 +81,63 @@ def _backtrack_np(f, pre, min_score, min_anchors, max_chains):
     return chain_id, np.array(scores, np.float32)
 
 
+def seed_chain_batch(code_list: list[np.ndarray], index, cfg: AlignConfig,
+                     max_chains: int = 64, max_hits: int = 64,
+                     max_pred: int = 48) -> list[list[Chain]] | None:
+    """Fused native front-end for a BATCH of queries: sketch → index lookup
+    → anchor expansion → per-strand chain DP → backtrack in one ctypes call
+    (threaded across host cores, GIL released so planning overlaps).
+
+    Output-identical to the per-query python path (sketch_np +
+    MinimizerIndex.anchors + chain_anchors): same kernels, same sort, same
+    backtrack.  Returns None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "seed_chain_batch"):
+        return None
+    n = len(code_list)
+    out: list[list[Chain]] = [[] for _ in range(n)]
+    if n == 0:
+        return out
+    q_off = np.zeros(n + 1, np.int64)
+    for i, c in enumerate(code_list):
+        q_off[i + 1] = q_off[i] + len(c)
+    codes = np.ascontiguousarray(
+        np.concatenate(code_list) if n else np.zeros(0, np.int8), np.int8)
+    res = lib.seed_chain_batch(
+        codes, q_off, n, cfg.k, cfg.w,
+        index.sorted_hash, index.sorted_pos, index.sorted_strand,
+        len(index.sorted_hash), max_hits,
+        max_pred, cfg.max_anchor_gap, cfg.chain_bandwidth, 0.05,
+        float(cfg.min_chain_score), cfg.min_chain_anchors, max_chains, 0)
+    r = res.contents
+    nc, na = int(r.n_chains), int(r.n_anchors)
+    cq = np.ctypeslib.as_array(r.chain_query, (nc + 1,))[:nc].copy()
+    cs = np.ctypeslib.as_array(r.chain_strand, (nc + 1,))[:nc].copy()
+    sc = np.ctypeslib.as_array(r.chain_score, (nc + 1,))[:nc].copy()
+    off = np.ctypeslib.as_array(r.anchor_off, (nc + 1,)).copy()
+    aq = np.ctypeslib.as_array(r.aq, (na + 1,))[:na].copy()
+    at = np.ctypeslib.as_array(r.at, (na + 1,))[:na].copy()
+    lib.seed_chain_free(res)
+    for ci in range(nc):
+        qi, s = int(cq[ci]), int(cs[ci])
+        a_q = aq[off[ci]:off[ci + 1]]
+        a_t = at[off[ci]:off[ci + 1]]
+        qlen = int(q_off[qi + 1] - q_off[qi])
+        q_start, q_end = int(a_q.min()), int(a_q.max()) + cfg.k
+        if s == -1:
+            fq_start, fq_end = qlen - q_end, qlen - q_start
+        else:
+            fq_start, fq_end = q_start, q_end
+        out[qi].append(Chain(
+            q_start=fq_start, q_end=fq_end,
+            t_start=int(a_t.min()), t_end=int(a_t.max()) + cfg.k,
+            strand=s, score=float(sc[ci]),
+            anchors_q=a_q, anchors_t=a_t))
+    for chains in out:
+        chains.sort(key=lambda c: -c.score)
+    return out
+
+
 def chain_anchors(
     t_pos: np.ndarray, q_pos: np.ndarray, strand: np.ndarray, qlen: int,
     cfg: AlignConfig, max_pred: int = 48, max_chains: int = 64,
