@@ -79,9 +79,27 @@ def _find_overlaps(seqs: list[str], cfg: AssemblyConfig,
     One native chain_segments call per query chains every (target, strand)
     anchor segment at once (was one python chain_anchors call per pair).
 
-    group_of: optional per-read group id — anchors to other groups are
-    masked out, so ONE shared index serves every phase-block haplotype of a
-    chromosome (the batched farm, replaces per-group index builds)."""
+    group_of: optional per-read group id — overlaps are only sought within
+    a group.  Groups are processed as independent sub-pools with their own
+    minimizer index: anchor expansion is bounded by the phase-block size
+    (reads × coverage), NOT by the whole chromosome pool — a pooled index
+    over a chromosome's reads expands cov× cross-group hits per minimizer
+    only to discard them, which is O(genome·cov²) memory (35 GB on a 2 Mb
+    chromosome before this split)."""
+    if group_of is not None and len(seqs) > 1:
+        group_of = np.asarray(group_of)
+        out: list[_Overlap] = []
+        for g in np.unique(group_of):
+            idxs = np.nonzero(group_of == g)[0]
+            if len(idxs) < 2:
+                continue
+            sub = [seqs[i] for i in idxs]
+            for ov in _find_overlaps(sub, cfg, acfg):
+                out.append(_Overlap(int(idxs[ov.a]), int(idxs[ov.b]),
+                                    ov.a_start, ov.a_end, ov.b_start,
+                                    ov.b_end, ov.strand, ov.score))
+        out.sort(key=lambda o: (o.a, o.b))
+        return out
     from ..native import get_lib
     lib = get_lib()
     codes = [encode_seq(s) for s in seqs]
@@ -90,6 +108,7 @@ def _find_overlaps(seqs: list[str], cfg: AssemblyConfig,
     overlaps: list[_Overlap] = []
     k = acfg.k
     qlens = np.array([len(c) for c in codes], np.int64)
+    group_of = None
 
     if lib is None or not hasattr(lib, "chain_segments"):
         # fallback: per-read python chaining (oracle path)

@@ -164,13 +164,20 @@ def cmd_sim(args) -> int:
     ref = sim.random_genome(rng, args.length, n_chroms=args.chroms)
     hap1, hap2, truth = sim.implant_svs(
         rng, ref, n_del=args.n_del, n_ins=args.n_ins, n_inv=args.n_inv,
-        n_dup=args.n_dup, min_len=args.min_len, max_len=args.max_len)
+        n_dup=args.n_dup, min_len=args.min_len, max_len=args.max_len,
+        n_clustered=getattr(args, "n_clustered", 0),
+        n_nested=getattr(args, "n_nested", 0),
+        n_small=getattr(args, "n_small", 0))
+    # SNPs go in at REF coordinates BEFORE the translocation tail-swap (the
+    # swap moves hap sequence between chromosome records but every allele
+    # keeps its reference locus, so the truth coordinates stay valid)
+    hap1, hap2, truth_snps = sim.implant_snps_ref(
+        rng, ref, hap1, hap2, truth, rate=args.snp_rate)
     if getattr(args, "n_tra", 0):
         if args.chroms < 2:
             log.error("--n_tra requires --chroms >= 2")
             return 2
         truth += sim.implant_tra(rng, ref, hap1, hap2, truth)
-    hap1, hap2, _ = sim.implant_snps(rng, hap1, hap2, rate=args.snp_rate)
     reads = sim.simulate_reads(
         rng, {1: hap1, 2: hap2}, coverage=args.coverage,
         read_len=args.read_len, sub_rate=args.err, indel_rate=args.err / 2)
@@ -194,6 +201,16 @@ def cmd_sim(args) -> int:
                   "END": t.pos + 1 + t.svlen}))
     write_vcf(os.path.join(args.out_dir, "truth.vcf"),
               make_header({c: len(s) for c, s in ref.items()}), trecs)
+    # truth SNPs: GT encodes the carrying haplotype (1|0 = hap1, 0|1 =
+    # hap2, 1/1 = hom) — the phasing switch-error gate's ground truth
+    snp_recs = [VcfRecord(
+        chrom=s.chrom, pos=s.pos + 1, id=f"tsnp-{i}", ref=s.ref, alt=s.alt,
+        gt=("1/1" if s.hap == 0 else ("1|0" if s.hap == 1 else "0|1")))
+        for i, s in enumerate(truth_snps)]
+    order = {c: i for i, c in enumerate(ref)}
+    snp_recs.sort(key=lambda r: (order[r.chrom], r.pos))
+    write_vcf(os.path.join(args.out_dir, "truth_snps.vcf"),
+              make_header({c: len(s) for c, s in ref.items()}), snp_recs)
     contigs = sim.contigs_from_haplotypes(hap1, hap2)
     write_fasta(os.path.join(args.out_dir, "true_contigs.fa"), contigs)
     log.info("sim → %s (%d reads, %d truth SVs)", args.out_dir,
@@ -206,7 +223,7 @@ def _ckpt(args):
     return CheckpointDir(args.out_dir, resume=getattr(args, "resume", False))
 
 
-def _run_asm(ref, read_seqs, args):
+def _run_asm(ref, read_seqs, args, reads_by_chrom=None):
     """phase → partition → assemble every chromosome.
 
     Returns (contigs, phased SNP VcfRecords — the longshot-VCF-equivalent
@@ -237,9 +254,14 @@ def _run_asm(ref, read_seqs, args):
             if not (ckpt.has(f"asm_{c}.fa") and ckpt.has(f"snps_{c}.vcf"))]
     by_chrom, phased_writer = {}, None
     if todo:
-        by_chrom = _align_by_chrom_sharded(
-            ref, read_seqs, _read_preset(args.dtype), args.out_dir,
-            "reads_asm", want=own)
+        if reads_by_chrom is not None:
+            # caller already aligned the reads (cmd_run aligns once for the
+            # whole pipeline) — reuse instead of a second alignment pass
+            by_chrom = {c: reads_by_chrom.get(c, []) for c in own}
+        else:
+            by_chrom = _align_by_chrom_sharded(
+                ref, read_seqs, _read_preset(args.dtype), args.out_dir,
+                "reads_asm", want=own)
         # phased BAM with HP/PS tags — longshot's '-O phased.bam' artifact
         # (volcanosv-asm.py:75-80; tag semantics prepare_info_v1.py:42-63);
         # per-host part files under multi-process (owned chromosomes only)
@@ -622,16 +644,16 @@ def cmd_run(args) -> int:
     multi = mp.n_processes() > 1
     own = _own_chroms(ref)
 
-    contigs, snp_records = _run_asm(ref, read_seqs, args)
+    # ONE read-alignment pass serves assembly AND every vc stage (the
+    # complex-SV WGS stage needs all chromosomes, so exchange want=all)
+    reads_by_chrom = _align_by_chrom_sharded(
+        ref, read_seqs, _read_preset(args.dtype), args.out_dir, "reads_run")
+    contigs, snp_records = _run_asm(ref, read_seqs, args,
+                                    reads_by_chrom=reads_by_chrom)
     if mp.is_rank0():
         write_fasta(os.path.join(args.out_dir, "final_contigs.fa"), contigs)
         _vcf_out(args.out_dir, "phased_snps.vcf", ref, snp_records)
     log.info("assembly: %d contigs", len(contigs))
-
-    # complex-SV (WGS stage) needs every chromosome's reads/alignments, so
-    # the query-sharded alignments exchange with want=all
-    reads_by_chrom = _align_by_chrom_sharded(
-        ref, read_seqs, _read_preset(args.dtype), args.out_dir, "reads_run")
     li_by_chrom = _align_by_chrom_sharded(ref, contigs, "asm5",
                                           args.out_dir, "ctg_asm5")
     reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom,
@@ -745,6 +767,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_tra", type=int, default=0,
                    help="implant a reciprocal cross-chromosome "
                         "translocation (needs --chroms >= 2)")
+    p.add_argument("--n_clustered", type=int, default=0,
+                   help="clustered DEL+INS pairs 600-900bp apart, per chrom")
+    p.add_argument("--n_nested", type=int, default=0,
+                   help="INVs with an interior deletion (nested), per chrom")
+    p.add_argument("--n_small", type=int, default=0,
+                   help="2-49bp indels (small-indel path truth), per chrom")
     p.add_argument("--min_len", type=int, default=60)
     p.add_argument("--max_len", type=int, default=400)
     p.add_argument("--snp_rate", type=float, default=1 / 1500)

@@ -294,6 +294,19 @@ class PhasingConfig:
     error_rate_clr: float = 0.10
     error_rate_ont: float = 0.05
     max_phase_iter: int = 30
+    # pair-HMM realignment of observations near indels (longshot's core
+    # trick — phasing/realign.py); active when error_rate is set
+    realign: bool = True
+    realign_flank: int = 20          # hap window half-width
+    realign_margin: float = 1.0      # nats of LLR needed for an allele call
+    realign_indel_frac: float = 0.15  # site is 'near-indel' when ≥ this
+    #                                   fraction of covering reads has an
+    #                                   indel within ±10bp
+    realign_af_relax: float = 0.5    # af pre-gate multiplier at those sites
+    # dense-cluster filter (longshot -D role): candidate SNVs packed this
+    # tightly are mismapping/inversion artifacts, not real variation
+    dense_count: int = 6             # ≥ this many candidates ...
+    dense_window: int = 100          # ... within this window → drop all
 
     @staticmethod
     def for_dtype(dtype: "DataType | str") -> "PhasingConfig":

@@ -27,7 +27,8 @@ _M, _I, _D, _S, _H, _EQ, _X = 0, 1, 2, 4, 5, 7, 8
 
 
 def _aligned_pairs(rec: BamRecord):
-    """(ref_idx, read_idx) int64 arrays for all M/=/X columns (vectorized)."""
+    """(ref_idx, read_idx) int64 arrays for all M/=/X columns plus the ref
+    positions of I/D gap events (vectorized)."""
     cigar = np.asarray(rec.cigar)
     ops = cigar[:, 0]
     lens = cigar[:, 1].astype(np.int64)
@@ -35,16 +36,19 @@ def _aligned_pairs(rec: BamRecord):
     cq = np.isin(ops, (_M, _I, _S, _EQ, _X)) * lens
     ref0 = rec.pos + np.concatenate([[0], np.cumsum(cr)[:-1]])
     q0 = np.concatenate([[0], np.cumsum(cq)[:-1]])
+    ind = np.isin(ops, (_I, _D)) & (lens > 0)
+    indel_pos = ref0[ind]
     m = np.isin(ops, (_M, _EQ, _X)) & (lens > 0)
     if not m.any():
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        z = np.zeros(0, np.int64)
+        return z, z, indel_pos
     ls = lens[m]
     total = int(ls.sum())
     base = np.repeat(np.cumsum(ls) - ls, ls)
     offs = np.arange(total) - base
     ref_idx = np.repeat(ref0[m], ls) + offs
     read_idx = np.repeat(q0[m], ls) + offs
-    return ref_idx, read_idx
+    return ref_idx, read_idx, indel_pos
 
 
 @dataclass
@@ -68,15 +72,18 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     """Candidate SNPs + read observation lists for one chromosome."""
     L = len(ref_codes)
     cov = np.zeros(L + 1, np.int32)
+    icov = np.zeros(L + 1, np.int32)   # reads-with-an-indel-nearby overlay
     mm_pos: list[np.ndarray] = []
     mm_base: list[np.ndarray] = []
-    pairs = []            # cached (ref_idx, read_idx, codes) per usable read
+    pairs = []            # cached per-read (ref_idx, masked bases, read idx)
+    segs = []             # cached (ref_idx, read_idx, codes) for realignment
     names: list[str] = []
+    do_realign = cfg.realign and cfg.error_rate is not None
     for rec in records:
         if rec.is_unmapped or rec.is_secondary or rec.mapq < cfg.min_mapq \
                 or not rec.seq:
             continue
-        ref_idx, read_idx = _aligned_pairs(rec)
+        ref_idx, read_idx, indel_pos = _aligned_pairs(rec)
         if len(ref_idx) == 0:
             continue
         ok = (ref_idx >= 0) & (ref_idx < L)
@@ -88,6 +95,13 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
             q = np.asarray(rec.qual)[read_idx]
             rb = np.where(q >= cfg.min_base_qual, rb, np.int8(5))
         pairs.append((ref_idx, rb, len(names)))
+        if do_realign:
+            segs.append((ref_idx, read_idx, codes))
+            # this read votes 'indel nearby' on ±10bp around each gap event
+            for ip in indel_pos:
+                lo = max(int(ip) - 10, 0)
+                icov[lo] += 1
+                icov[min(int(ip) + 11, L)] -= 1
         names.append(rec.name)
         cov[rec.pos] += 1
         cov[min(rec.reference_end, L)] -= 1
@@ -95,6 +109,7 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         mm_pos.append(ref_idx[mism])
         mm_base.append(rb[mism])
     coverage = np.cumsum(cov[:-1])
+    indel_cov = np.cumsum(icov[:-1]) if do_realign else None
     if not mm_pos or not sum(len(m) for m in mm_pos):
         # no mismatch observations at all (e.g. reads matching a polished
         # draft exactly) — empty candidate set
@@ -114,20 +129,120 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     cand_pos = upos_o[first]
     cand_alt = ubase_o[first]
     cand_cnt = cnt_o[first].astype(np.int32)
+    # second-best alt per position — at shifted columns near indels the
+    # raw counts can rank the wrong base first; the pair-HMM pass re-ranks
+    cand_alt2 = cand_alt.copy()
+    if len(upos_o) > 1:
+        second = np.zeros(len(upos_o), bool)
+        second[1:] = first[:-1] & (upos_o[1:] == upos_o[:-1])
+        fi = np.cumsum(first) - 1
+        tgt = fi[second]
+        cand_alt2[tgt] = ubase_o[second]
 
     depth = coverage[cand_pos]
     af = cand_cnt / np.maximum(depth, 1)
+    near_indel = np.zeros(len(cand_pos), bool)
+    if indel_cov is not None:
+        frac = indel_cov[cand_pos] / np.maximum(depth, 1)
+        near_indel = frac >= cfg.realign_indel_frac
+    # near-indel sites get a relaxed af pre-gate: alignment shift dilutes
+    # the mismatch column exactly there; the pair-HMM pass re-derives the
+    # true counts before the likelihood gate decides
+    af_floor = np.where(near_indel,
+                        cfg.min_allele_frac * cfg.realign_af_relax,
+                        cfg.min_allele_frac)
     keep = (depth >= cfg.min_depth) & (depth <= cfg.max_depth) & \
-           (af >= cfg.min_allele_frac)
+           (af >= af_floor)
     cand_pos, cand_alt, cand_cnt = cand_pos[keep], cand_alt[keep], cand_cnt[keep]
-    depth, af = depth[keep], af[keep]
+    cand_alt2 = cand_alt2[keep]
+    depth, af, near_indel = depth[keep], af[keep], near_indel[keep]
+
+    # --- pair-HMM realignment of near-indel candidate sites -------------
+    realigned_obs: dict[tuple[int, int], int] = {}   # (read idx, site j)
+    k_eff = cand_cnt.astype(np.float64)
+    n_eff = depth.astype(np.float64)
+    ri = np.nonzero(near_indel)[0]
+    if do_realign and len(ri):
+        flank = cfg.realign_flank
+        W = 2 * flank + 1
+        R_MAX = W + 16
+        ri_pos = cand_pos[ri]
+        p_segs, p_lens, p_read, p_site = [], [], [], []
+        for ridx, (ref_idx, read_idx, codes) in enumerate(segs):
+            if len(ref_idx) == 0:
+                continue
+            lo_s = np.searchsorted(ri_pos, ref_idx[0] + 2, side="left")
+            hi_s = np.searchsorted(ri_pos, ref_idx[-1] - 2, side="right")
+            for j in range(lo_s, hi_s):
+                p = int(ri_pos[j])
+                lo_c = np.searchsorted(ref_idx, p - flank, side="left")
+                hi_c = np.searchsorted(ref_idx, p + flank, side="right") - 1
+                if hi_c < lo_c:
+                    continue
+                r_lo, r_hi = int(read_idx[lo_c]), int(read_idx[hi_c])
+                if r_hi - r_lo + 1 > R_MAX or r_hi < r_lo:
+                    continue
+                seg = codes[r_lo:r_hi + 1]
+                p_segs.append(seg)
+                p_lens.append(len(seg))
+                p_read.append(ridx)
+                p_site.append(int(ri[j]))
+        if p_segs:
+            from .realign import pairhmm_alleles
+            N = len(p_segs)
+            seg_arr = np.full((N, R_MAX), 4, np.int8)
+            for i, s in enumerate(p_segs):
+                seg_arr[i, :len(s)] = s
+            site_arr = np.asarray(p_site)
+            pos_arr = cand_pos[site_arr]
+            hap_ref = np.full((N, W), 4, np.int8)
+            for i in range(N):
+                p = int(pos_arr[i])
+                lo, hi = max(p - flank, 0), min(p + flank + 1, L)
+                hap_ref[i, lo - (p - flank):lo - (p - flank) + hi - lo] = \
+                    ref_codes[lo:hi]
+            lens_arr = np.asarray(p_lens, np.int32)
+            n_sites = len(cand_pos)
+
+            def _score(alt_bases):
+                hap_alt = hap_ref.copy()
+                hap_alt[:, flank] = alt_bases[site_arr]
+                al = pairhmm_alleles(seg_arr, lens_arr, hap_ref, hap_alt,
+                                     cfg.error_rate,
+                                     margin=cfg.realign_margin)
+                k = np.zeros(n_sites, np.float64)
+                nn = np.zeros(n_sites, np.float64)
+                np.add.at(k, site_arr, (al == -1).astype(np.float64))
+                np.add.at(nn, site_arr, (al != 0).astype(np.float64))
+                return al, k, nn
+
+            # the raw counts can rank the wrong base first at shifted
+            # columns: score both top alts, keep the one with more support
+            al1, k1, n1 = _score(cand_alt)
+            has2 = cand_alt2 != cand_alt
+            if has2[site_arr].any():
+                al2, k2, n2 = _score(cand_alt2)
+            else:
+                al2, k2, n2 = al1, k1, n1
+            use2 = has2 & (k2 > k1)
+            cand_alt = np.where(use2, cand_alt2, cand_alt)
+            alleles = np.where(use2[site_arr], al2, al1).astype(np.int8)
+            k_new = np.where(use2, k2, k1)
+            n_new = np.where(use2, n2, n1)
+            has = np.zeros(n_sites, bool)
+            has[site_arr] = True
+            k_eff = np.where(has, k_new, k_eff)
+            n_eff = np.where(has, np.maximum(n_new, 1.0), n_eff)
+            for i in range(N):
+                realigned_obs[(p_read[i], int(site_arr[i]))] = int(alleles[i])
+
     if cfg.error_rate is not None and len(cand_pos):
         # genotype likelihoods (binomial, flat prior): hom-ref sees the alt
         # only via error (e/3 to a specific base), het at ~0.5, hom-alt
         # symmetric; qual = -10·log10 P(hom-ref | data) ≥ min_snp_qual
         e3 = max(cfg.error_rate / 3, 1e-6)
-        n = depth.astype(np.float64)
-        k = cand_cnt.astype(np.float64)
+        n = n_eff
+        k = k_eff
         ll_rr = k * np.log(e3) + (n - k) * np.log1p(-e3)
         ll_aa = (n - k) * np.log(e3) + k * np.log1p(-e3)
         ll_ra = n * np.log(0.5)
@@ -138,9 +253,38 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         keep2 = qual >= cfg.min_snp_qual
         is_het = (ll_ra >= ll_aa)[keep2]
         cand_pos, cand_alt = cand_pos[keep2], cand_alt[keep2]
-        cand_cnt, depth = cand_cnt[keep2], depth[keep2]
+        cand_cnt = np.where(near_indel, k_eff.astype(np.int32),
+                            cand_cnt)[keep2]
+        depth = depth[keep2]
+        if realigned_obs:
+            # remap realigned site indices through the keep2 filter
+            new_of = np.full(len(keep2), -1, np.int64)
+            new_of[keep2] = np.arange(int(keep2.sum()))
+            realigned_obs = {(r, int(new_of[j])): a
+                             for (r, j), a in realigned_obs.items()
+                             if new_of[j] >= 0}
     else:
         is_het = af <= cfg.max_allele_frac
+
+    # dense-cluster filter (longshot -D role): a het inversion's reads
+    # align across the inverted segment as mismatch soup, making every
+    # column a plausible 'het SNP'; real SNVs never pack ≥ dense_count
+    # into dense_window bp, so drop whole clusters
+    if len(cand_pos) and cfg.dense_count > 0 and cfg.error_rate is not None:
+        half = cfg.dense_window // 2
+        lo = np.searchsorted(cand_pos, cand_pos - half, side="left")
+        hi = np.searchsorted(cand_pos, cand_pos + half, side="right")
+        sparse = (hi - lo) < cfg.dense_count
+        if not sparse.all():
+            cand_pos, cand_alt = cand_pos[sparse], cand_alt[sparse]
+            cand_cnt, depth = cand_cnt[sparse], depth[sparse]
+            is_het = is_het[sparse]
+            if realigned_obs:
+                new_of = np.full(len(sparse), -1, np.int64)
+                new_of[sparse] = np.arange(int(sparse.sum()))
+                realigned_obs = {(r, int(new_of[j])): a
+                                 for (r, j), a in realigned_obs.items()
+                                 if new_of[j] >= 0}
     if len(cand_pos) == 0:
         z8, z32 = np.zeros(0, np.int8), np.zeros(0, np.int32)
         return PileupResult(cand_pos.astype(np.int64), z8, z8, z32, z32,
@@ -160,6 +304,12 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         allele = np.where(bases == rbase[js], np.int8(1),
                           np.where(bases == cand_alt[js], np.int8(-1),
                                    np.int8(0)))
+        if realigned_obs:
+            # pair-HMM votes override the raw CIGAR-column read-off
+            for t, jj in enumerate(js):
+                a = realigned_obs.get((ridx, int(jj)))
+                if a is not None:
+                    allele[t] = a
         obs_read.append(np.full(len(js), ridx, np.int32))
         obs_snp.append(js.astype(np.int32))
         obs_allele.append(allele)

@@ -26,6 +26,16 @@ class TrueSV:
     seq: str = ""     # inserted sequence for INS
     chrom2: str = ""  # BND mate chromosome
     pos2: int = 0     # BND mate position (0-based)
+    nested_del: tuple[int, int] | None = None  # (rel_off, del_len) inside INV
+
+
+@dataclass
+class TrueSNP:
+    chrom: str
+    pos: int          # 0-based REF position
+    hap: int          # 1 / 2 for het (alt on that hap), 0 for hom-alt
+    ref: str
+    alt: str
 
 
 def random_genome(rng: np.random.Generator, length: int,
@@ -34,6 +44,19 @@ def random_genome(rng: np.random.Generator, length: int,
     for i in range(n_chroms):
         out[f"chr{i + 1}"] = "".join(rng.choice(BASES, length))
     return out
+
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+def _revcomp(s: str) -> str:
+    return s.translate(_COMP)[::-1]
+
+
+def _rand_gt(rng: np.random.Generator, hom_frac: float) -> tuple[int, int]:
+    if rng.random() < hom_frac:
+        return (1, 1)
+    return (1, 0) if rng.random() < 0.5 else (0, 1)
 
 
 def implant_svs(
@@ -47,41 +70,97 @@ def implant_svs(
     max_len: int = 500,
     min_gap: int = 2_000,
     hom_frac: float = 0.4,
+    n_clustered: int = 0,
+    n_nested: int = 0,
+    n_small: int = 0,
 ) -> tuple[dict[str, str], dict[str, str], list[TrueSV]]:
     """Returns (hap1_seqs, hap2_seqs, truth). SVs are placed non-overlapping
-    with >= min_gap spacing; het SVs are assigned to a random haplotype."""
+    with >= min_gap spacing; het SVs are assigned to a random haplotype.
+
+    Beyond the independent events, three stress classes (the reference's
+    real-data regimes the golden gate must cover):
+
+    * n_clustered — pairs of same-GT DEL+INS events 600-900bp apart: close
+      enough that sloppy clustering (cluster_del max_shift=100 semantics,
+      extract_contig_signature_Hifi.py:196-249) would merge them, far
+      enough that a correct caller reports both.
+    * n_nested — an INV whose inverted segment carries an interior deletion
+      (two truth rows: the INV and the DEL in ref coordinates).
+    * n_small — 2-49bp indels (the small-indel path's 2-49bp band,
+      volcanosv-vc-small-indel.py awk size filter :35-68); excluded from
+      the >=30bp large gate by truvari's -S filter.
+    """
     hap1, hap2, truth = {}, {}, []
     for chrom, seq in ref.items():
         L = len(seq)
-        n_sv = n_del + n_ins + n_inv + n_dup
-        # choose positions with spacing
-        positions = []
-        tries = 0
-        while len(positions) < n_sv and tries < 10_000:
-            tries += 1
-            p = int(rng.integers(min_gap, L - min_gap - max_len))
-            if all(abs(p - q) >= min_gap + max_len for q in positions):
-                positions.append(p)
-        positions.sort()
-        types = (["DEL"] * n_del + ["INS"] * n_ins + ["INV"] * n_inv
-                 + ["DUP"] * n_dup)
-        rng.shuffle(types)
-        events = []
-        for p, ty in zip(positions, types):
-            ln = int(rng.integers(min_len, max_len + 1))
-            if rng.random() < hom_frac:
-                gt = (1, 1)
+        # --- build the placement plan: (kind, width-reservation) slots ---
+        slots: list[tuple[str, int]] = []
+        for ty, cnt in (("DEL", n_del), ("INS", n_ins), ("INV", n_inv),
+                        ("DUP", n_dup)):
+            slots += [(ty, max_len)] * cnt
+        slots += [("CLUSTER", 2 * max_len + 1000)] * n_clustered
+        slots += [("NESTED", 700)] * n_nested
+        slots += [("SMALL", 60)] * n_small
+        rng.shuffle(slots)
+        placed: list[tuple[int, int]] = []      # (start, end) incl. slack
+
+        def _place(width: int) -> int | None:
+            for _ in range(4_000):
+                p = int(rng.integers(min_gap, L - min_gap - width))
+                if all(p + width + min_gap <= s or p >= e + min_gap
+                       for s, e in placed):
+                    placed.append((p, p + width))
+                    return p
+            return None
+
+        events: list[TrueSV] = []
+        for kind, width in slots:
+            p = _place(width)
+            if p is None:
+                continue
+            if kind == "CLUSTER":
+                gt = _rand_gt(rng, hom_frac)
+                l1 = int(rng.integers(min_len, max_len + 1))
+                l2 = int(rng.integers(min_len, max_len + 1))
+                gap = int(rng.integers(600, 901))
+                events.append(TrueSV(chrom, p, "DEL", l1, gt))
+                events.append(TrueSV(
+                    chrom, p + l1 + gap, "INS", l2, gt,
+                    seq="".join(rng.choice(BASES, l2))))
+            elif kind == "NESTED":
+                gt = _rand_gt(rng, hom_frac)
+                ln = int(rng.integers(300, 601))
+                dlen = int(rng.integers(40, 81))
+                off = int(rng.integers(60, ln - dlen - 60))
+                events.append(TrueSV(chrom, p, "INV", ln, gt,
+                                     nested_del=(off, dlen)))
+                events.append(TrueSV(chrom, p + off, "DEL", dlen, gt))
+            elif kind == "SMALL":
+                # 2-29bp: below the large caller's 30bp floor, so the small
+                # and large paths never double-report the same truth event
+                gt = _rand_gt(rng, hom_frac)
+                ln = int(rng.integers(2, 30))
+                if rng.random() < 0.5:
+                    events.append(TrueSV(chrom, p, "DEL", ln, gt))
+                else:
+                    events.append(TrueSV(
+                        chrom, p, "INS", ln, gt,
+                        seq="".join(rng.choice(BASES, ln))))
             else:
-                gt = (1, 0) if rng.random() < 0.5 else (0, 1)
-            ins_seq = "".join(rng.choice(BASES, ln)) if ty == "INS" else ""
-            events.append(TrueSV(chrom, p, ty, ln, gt, ins_seq))
+                ln = int(rng.integers(min_len, max_len + 1))
+                gt = _rand_gt(rng, hom_frac)
+                ins_seq = "".join(rng.choice(BASES, ln)) if kind == "INS" \
+                    else ""
+                events.append(TrueSV(chrom, p, kind, ln, gt, ins_seq))
+        events.sort(key=lambda e: e.pos)
         truth.extend(events)
 
         for hap_idx, store in ((0, hap1), (1, hap2)):
             parts = []
             cur = 0
             for ev in events:
-                if not ev.gt[hap_idx]:
+                if not ev.gt[hap_idx] or ev.pos < cur:
+                    # a nested DEL truth row is realized by its parent INV
                     continue
                 parts.append(seq[cur : ev.pos + 1])
                 if ev.svtype == "DEL":
@@ -91,8 +170,10 @@ def implant_svs(
                     cur = ev.pos + 1
                 elif ev.svtype == "INV":
                     seg = seq[ev.pos + 1 : ev.pos + 1 + ev.svlen]
-                    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
-                    parts.append("".join(comp[c] for c in reversed(seg)))
+                    if ev.nested_del is not None:
+                        off, dlen = ev.nested_del
+                        seg = seg[:off] + seg[off + dlen:]
+                    parts.append(_revcomp(seg))
                     cur = ev.pos + 1 + ev.svlen
                 elif ev.svtype == "DUP":
                     seg = seq[ev.pos + 1 : ev.pos + 1 + ev.svlen]
@@ -196,6 +277,65 @@ def implant_snps(
     return out1, out2, pos_out
 
 
+def implant_snps_ref(
+    rng: np.random.Generator,
+    ref: dict[str, str],
+    hap1: dict[str, str], hap2: dict[str, str],
+    truth: list[TrueSV],
+    rate: float = 1 / 1500,
+    hom_frac: float = 0.3,
+    margin: int = 100,
+) -> tuple[dict[str, str], dict[str, str], list[TrueSNP]]:
+    """Implant SNPs at REF coordinates (away from every SV interval) so the
+    truth supports SNP-accuracy and phasing switch-error gates.  Positions
+    are mapped to each haplotype through the SV length offsets
+    (_hap_offset), so the truth coordinate is exactly where reads carrying
+    the allele align on the reference.  hom_frac of sites mutate both
+    haplotypes (longshot emits those as 1/1); the rest are het on a random
+    haplotype — the phasing signal."""
+    bases = "ACGT"
+    out1, out2 = dict(hap1), dict(hap2)
+    snps: list[TrueSNP] = []
+    for chrom in ref:
+        L = len(ref[chrom])
+        iv = sorted((e.pos - margin,
+                     e.pos + (e.svlen if e.svtype != "INS" else 0) + margin)
+                    for e in truth if e.chrom == chrom)
+        starts = np.array([s for s, _ in iv] + [L + 1])
+        ends = np.array([e for _, e in iv] + [L + 2])
+        n = int(rate * L)
+        cand = np.sort(rng.choice(np.arange(margin, L - margin),
+                                  min(n * 2, L // 4), replace=False))
+        # reject candidates inside any SV interval (+margin)
+        j = np.searchsorted(starts, cand, side="right") - 1
+        bad = (j >= 0) & (cand < ends[np.clip(j, 0, len(ends) - 1)])
+        cand = cand[~bad][:n]
+        h1, h2 = list(out1[chrom]), list(out2[chrom])
+        for p in cand:
+            old = ref[chrom][p]
+            if old not in bases:
+                continue
+            alt = bases[(bases.index(old) + 1 + int(rng.integers(3))) % 4]
+            hom = rng.random() < hom_frac
+            hap = 0 if hom else (1 if rng.random() < 0.5 else 2)
+            wrote = []
+            for hidx, arr in ((1, h1), (2, h2)):
+                if not hom and hap != hidx:
+                    continue
+                # offset of this hap vs ref left of p
+                hp = int(p) + _hap_offset(truth, chrom, int(p), hidx - 1)
+                if 0 <= hp < len(arr):
+                    arr[hp] = alt
+                    wrote.append(hidx)
+            if hom and len(wrote) == 2:
+                snps.append(TrueSNP(chrom, int(p), 0, old, alt))
+            elif wrote:
+                snps.append(TrueSNP(chrom, int(p), wrote[0], old, alt))
+        out1[chrom] = "".join(h1)
+        out2[chrom] = "".join(h2)
+    return out1, out2, snps
+
+
 def mutate_read(rng: np.random.Generator, seq: str, sub_rate: float,
                 indel_rate: float) -> str:
     """Apply sequencing errors (substitutions + 1-3bp indels)."""
@@ -259,14 +399,24 @@ def contigs_from_haplotypes(
     (General_Assembly_Workflow.py reformat_fasta:37-45) — the '-otherasm'
     entry point of the vc pipeline."""
     contigs = {}
+    # phase-set ids use a per-chromosome global offset so block names are
+    # unique across chromosomes (a 'PS1_...' per chrom would silently
+    # collide in any name-keyed FASTA dict)
+    base: dict[str, int] = {}
+    off = 0
+    for chrom in hap1:
+        base[chrom] = off
+        off += max(len(hap1[chrom]), len(hap2.get(chrom, ""))) + block_size
     for hp, haps in ((1, hap1), (2, hap2)):
         for chrom, seq in haps.items():
             L = len(seq)
             n = 0
             start = 0
+            b = base[chrom]
             while start < L:
                 end = min(L, start + block_size)
-                name = f"PS{start + 1}_{start + 1}_{end}_hp{hp}_{n}"
+                name = (f"PS{b + start + 1}_{b + start + 1}_{b + end}"
+                        f"_hp{hp}_{n}")
                 contigs[name] = seq[start:end]
                 if end >= L:
                     break

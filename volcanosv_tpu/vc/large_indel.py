@@ -207,10 +207,15 @@ def finalize_chromosome(
     if gt_sigs is not None and reads_records is not None:
         records = coverage_filter(records, gt_sigs, cfg.cov_filter,
                                   medians=cov_medians)
-        rs = np.array([r.pos for r in reads_records if not r.is_unmapped],
-                      np.int64)
-        re_ = np.array([r.reference_end for r in reads_records
-                        if not r.is_unmapped], np.int64)
+        # depth counts PRIMARY alignments only: a split read's
+        # supplementary segments or a secondary hit would double-count one
+        # molecule (check_full_cover_reads iterates fetch() once per read,
+        # correct_gt_del_real_data.py:149-170)
+        prim = [r for r in reads_records
+                if not (r.is_unmapped or r.is_secondary
+                        or r.is_supplementary)]
+        rs = np.array([r.pos for r in prim], np.int64)
+        re_ = np.array([r.reference_end for r in prim], np.int64)
         records = correct_genotypes(records, gt_sigs, rs, re_,
                                     cfg.gt_correction)
     return phase_records(records)
