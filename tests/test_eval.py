@@ -82,3 +82,66 @@ def test_del_reciprocal_overlap_gate():
     assert evaluate([b], [c], EvalParams(pctovl=0.01)).tp == 1
     c2 = _rec(pos=1401, svlen=400, end=1801)
     assert evaluate([b], [c2]).tp == 0
+
+
+def test_dup_to_ins_convention():
+    """GIAB encodes tandem DUPs as INS of the copy — truvari --dup-to-ins
+    (EvalParams.dup_to_ins) must pair DUP↔INS; disabling it must not."""
+    b = _rec(svtype="INS", svlen=120)
+    c = _rec(svtype="DUP", svlen=120)
+    assert evaluate([b], [c]).tp == 1
+    assert evaluate([b], [c],
+                    EvalParams(dup_to_ins=False)).tp == 0
+
+
+def test_bnd_matching_gates():
+    """BND pairs need chrom + CHR2 + both-end distance ≤ refdist; size
+    gates don't apply (breakends are length-free)."""
+    def bnd(pos, chr2, end):
+        return VcfRecord(chrom="chr1", pos=pos, id=".", ref="N",
+                         alt=f"N[{chr2}:{end}[", gt="1/1",
+                         info={"SVTYPE": "BND", "CHR2": chr2, "END": end})
+    b = bnd(5000, "chr2", 9000)
+    assert evaluate([b], [bnd(5100, "chr2", 9100)]).tp == 1
+    assert evaluate([b], [bnd(5100, "chr3", 9100)]).tp == 0   # mate chrom
+    assert evaluate([b], [bnd(5100, "chr2", 9501)]).tp == 0   # mate end far
+    assert evaluate([b], [bnd(5501, "chr2", 9000)]).tp == 0   # this end far
+
+
+def test_greedy_tie_prefers_closer_breakpoint():
+    """Two comp calls inside refdist of one base: the score's distance
+    term must pick the closer one deterministically."""
+    base = [_rec(pos=1000)]
+    comp = [_rec(pos=1090), _rec(pos=1010)]
+    res = evaluate(base, comp)
+    assert res.matches == [(0, 1)]
+    assert (res.tp, res.fp) == (1, 1)
+
+
+def test_two_base_two_comp_cross_assignment():
+    """Greedy 1-1 must not double-spend a comp call: each base gets its
+    own nearest comp."""
+    base = [_rec(pos=1000), _rec(pos=1300)]
+    comp = [_rec(pos=1010), _rec(pos=1310)]
+    res = evaluate(base, comp)
+    assert sorted(res.matches) == [(0, 0), (1, 1)]
+    assert (res.tp, res.fp, res.fn) == (2, 0, 0)
+
+
+def test_maxsize_filter():
+    res = evaluate([_rec(svlen=80)], [_rec(svlen=80)],
+                   EvalParams(minsize=2, maxsize=49))
+    assert (res.tp, res.fp, res.fn) == (0, 0, 0)
+
+
+def test_pctsim_threshold_sweep():
+    """~half-mutated INS sequence sits between pctsim 0.3 and 0.9."""
+    rng = np.random.default_rng(3)
+    seq = list("ACGT"[i] for i in rng.integers(0, 4, 300))
+    mut = list(seq)
+    for i in rng.integers(0, 300, 60):
+        mut[i] = "ACGT"[(("ACGT".index(mut[i])) + 1) % 4]
+    b = _rec(svtype="INS", svlen=300, ref="A", alt="A" + "".join(seq))
+    c = _rec(svtype="INS", svlen=300, ref="A", alt="A" + "".join(mut))
+    assert evaluate([b], [c], EvalParams(pctsim=0.3)).tp == 1
+    assert evaluate([b], [c], EvalParams(pctsim=0.9)).tp == 0

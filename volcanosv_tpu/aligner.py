@@ -188,12 +188,31 @@ class _RefinePipeline:
     Buckets floor at 256: merging 128 into 256 trades a few cheap device
     cells for one fewer fetch round-trip per flush."""
 
-    def __init__(self, scores: Scores, flush_at: int = 4096):
+    def __init__(self, scores: Scores, flush_at: int = 4096,
+                 max_inflight: int = 2):
         self.scores = scores
         self.flush_at = flush_at
+        # in-flight dispatch cap: each dispatched bucket holds an (M, W, B)
+        # traceback in HBM until fetched — unbounded accumulation was the
+        # round-3 RESOURCE_EXHAUSTED crash in the polish stage
+        # (olc.polish_grouped → _flush at 5 Mb scale).  Resolving the
+        # oldest dispatch before launching a new one bounds live device
+        # memory at max_inflight buckets while still overlapping host
+        # planning with device DP.
+        self.max_inflight = max_inflight
         self.groups: dict[tuple[int, int], list[_Window]] = {}
         self.pending: list = []
         self.split: list[_Window] = []
+
+    # per-dispatch traceback budget: the DP holds an (M, W, B) uint8
+    # traceback on device until fetched, so B is capped per M bucket
+    # (8192-row buckets at the old flat flush_at=4096 alone were an
+    # 8.6 GB tensor — over half the chip's HBM)
+    _TB_BYTE_CAP = 512 << 20
+
+    def _bucket_flush_at(self, mb: int) -> int:
+        cap = max(64, self._TB_BYTE_CAP // (mb * _REFINE_W))
+        return min(self.flush_at, cap)
 
     def append(self, w: _Window) -> None:
         if w.kind != "refine":
@@ -204,8 +223,15 @@ class _RefinePipeline:
         key = (mb, mb + _REFINE_W)
         grp = self.groups.setdefault(key, [])
         grp.append(w)
-        if len(grp) >= self.flush_at:
+        if len(grp) >= self._bucket_flush_at(mb):
             self._flush(key)
+
+    @staticmethod
+    def _resolve(entry) -> None:
+        grp, finish = entry
+        cigs = finish()
+        for i, w in enumerate(grp):
+            w.result = cigs[i]
 
     def _flush(self, key: tuple[int, int]) -> None:
         from .ops.banded_align import banded_align_cigars_dispatch
@@ -218,6 +244,8 @@ class _RefinePipeline:
         t_pad, tlen = pad_codes([w.t_codes for w in grp], pad_to=nb)
         q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(q_pad, t_pad,
                                                       qlen, tlen)
+        while len(self.pending) >= self.max_inflight:
+            self._resolve(self.pending.pop(0))
         self.pending.append((grp, banded_align_cigars_dispatch(
             q_pad, t_pad, qlen, tlen, W=_REFINE_W, d_lo=_REFINE_DLO,
             scores=self.scores)))
@@ -225,10 +253,8 @@ class _RefinePipeline:
     def finalize(self) -> None:
         for key in list(self.groups):
             self._flush(key)
-        for grp, finish in self.pending:
-            cigs = finish()
-            for i, w in enumerate(grp):
-                w.result = cigs[i]
+        for entry in self.pending:
+            self._resolve(entry)
         self.pending = []
 
 
@@ -274,6 +300,55 @@ def _run_split(ws: list[_Window]):
             if L - s > 0:
                 cig.append((M, L - s))
             w.result = cig
+
+
+def _ref_to_query(ops: np.ndarray, lens: np.ndarray, r0s: np.ndarray,
+                  q0s: np.ndarray, r: int) -> int:
+    """Query offset (alignment orientation, clips included) at ref pos r."""
+    consumes_ref = np.isin(ops, (M, D))
+    idx = np.nonzero(consumes_ref & (r0s <= r)
+                     & (r < r0s + lens * consumes_ref))[0]
+    if len(idx) == 0:
+        # r at/after the last ref-consuming op
+        last = np.nonzero(consumes_ref)[0]
+        if len(last) == 0:
+            return 0
+        i = int(last[-1])
+        if r >= int(r0s[i] + lens[i]):
+            return int(q0s[i]) + (int(lens[i]) if ops[i] == M else 0)
+        i = int(last[0])
+        return int(q0s[i])
+    i = int(idx[0])
+    if ops[i] == M:
+        return int(q0s[i]) + (r - int(r0s[i]))
+    return int(q0s[i])          # inside a D: query does not advance
+
+
+def _cigar_score(cig: list[tuple[int, int]], q: np.ndarray, t: np.ndarray,
+                 s: Scores) -> int:
+    """(Dual-)affine score of a given global-alignment cigar."""
+    qp = tp = 0
+    score = 0
+    for op, ln in cig:
+        ln = int(ln)
+        if op == M:
+            a, b = q[qp:qp + ln], t[tp:tp + ln]
+            n_match = int(np.count_nonzero((a == b) & (a < 4)))
+            score += n_match * s.match + (ln - n_match) * s.mismatch
+            qp += ln
+            tp += ln
+        elif op in (I, D):
+            g = s.gap_open + s.gap_extend * ln
+            if s.dual:
+                g = max(g, s.gap_open2 + s.gap_extend2 * ln)
+            score += g
+            if op == I:
+                qp += ln
+            else:
+                tp += ln
+        elif op == S:
+            qp += ln
+    return score
 
 
 def _merge_cigar(parts: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -388,7 +463,11 @@ class Aligner:
             pipe.finalize()
             _run_split(pipe.split)
         with stage_timer("assemble", log):
-            return self._assemble(plans)
+            alns = self._assemble(plans)
+        if cfg.inv_rescue:
+            with stage_timer("inv_rescue", log):
+                alns += self._inv_rescue(alns, dict(queries))
+        return alns
 
     def _anchor_cover(self, ch: Chain, qlen: int,
                       hole: int = 100) -> list[tuple[int, int]]:
@@ -454,6 +533,146 @@ class Aligner:
             alns.append(a)
             by_query.setdefault(qname, []).append(a)
         return alns
+
+    # --- inversion rescue (AlignConfig.inv_rescue) ----------------------
+    _RESCUE_GAP = 30          # merge events within this ref gap into a run
+    _RESCUE_MIN_SPAN = 35     # run ref span floor (bp)
+    _RESCUE_MIN_EVENTS = 8
+    _RESCUE_MARGIN = 20       # run extension on both sides
+    _RESCUE_MAX_SPAN = 4096
+    _RESCUE_SMALL_INDEL = 15  # indels ≤ this are soup events; larger break runs
+
+    def _soup_runs(self, a: Alignment, qc: np.ndarray, tc: np.ndarray):
+        """Dense mismatch/small-indel windows of one alignment.
+
+        Returns [(r0, r1, q0, q1)] — ref coords local to the target, query
+        coords in the alignment's orientation (clips included).  A small
+        inversion chained straight through aligns as ~0.6+ events/bp
+        against ≲0.01 (HiFi/contig) background, so a density trigger with a
+        real-indel barrier finds exactly the inverted windows."""
+        cig = np.asarray(a.cigar, np.int64)
+        ops, lens = cig[:, 0], cig[:, 1]
+        cr = np.isin(ops, (M, D)) * lens
+        cq = np.isin(ops, (M, I, S)) * lens
+        r0s = a.pos + np.concatenate([[0], np.cumsum(cr)[:-1]])
+        q0s = np.concatenate([[0], np.cumsum(cq)[:-1]])
+        events: list[np.ndarray] = []
+        barriers: list[int] = []
+        for i in range(len(ops)):
+            op, ln = int(ops[i]), int(lens[i])
+            if op == M:
+                qs, rs = int(q0s[i]), int(r0s[i])
+                mm = np.nonzero(qc[qs:qs + ln] != tc[rs:rs + ln])[0]
+                if len(mm):
+                    events.append(mm + rs)
+            elif op in (I, D):
+                if ln <= self._RESCUE_SMALL_INDEL:
+                    events.append(np.array([int(r0s[i])], np.int64))
+                else:
+                    barriers.append(int(r0s[i]))
+        if not events:
+            return []
+        ev = np.sort(np.concatenate(events))
+        # split runs at gaps and at real-indel barriers
+        cut = np.diff(ev) > self._RESCUE_GAP
+        if barriers:
+            bar = np.asarray(barriers, np.int64)
+            between = (np.searchsorted(bar, ev[:-1], "right")
+                       != np.searchsorted(bar, ev[1:], "right"))
+            cut |= between
+        starts = np.concatenate([[0], np.nonzero(cut)[0] + 1])
+        stops = np.concatenate([np.nonzero(cut)[0] + 1, [len(ev)]])
+        runs = []
+        t_end = a.pos + int(cr.sum())
+        for s, e in zip(starts, stops):
+            lo, hi = int(ev[s]), int(ev[e - 1]) + 1
+            n, span = e - s, hi - lo
+            if (span < self._RESCUE_MIN_SPAN or n < self._RESCUE_MIN_EVENTS
+                    or span > self._RESCUE_MAX_SPAN
+                    or n / span < self.cfg.inv_rescue_density):
+                continue
+            r0 = max(lo - self._RESCUE_MARGIN, a.pos)
+            r1 = min(hi + self._RESCUE_MARGIN, t_end)
+            q0 = _ref_to_query(ops, lens, r0s, q0s, r0)
+            q1 = _ref_to_query(ops, lens, r0s, q0s, r1)
+            if q1 - q0 >= self._RESCUE_MIN_SPAN:
+                runs.append((r0, r1, q0, q1))
+        return runs
+
+    def _inv_rescue(self, alns: list[Alignment],
+                    query_seqs: dict[str, str]) -> list[Alignment]:
+        """Re-align soup windows reverse-complemented; emit winners as
+        inverted supplementary alignments (config.AlignConfig.inv_rescue)."""
+        from .ops.banded_align import banded_align_cigars
+        from .ops.pack import pad_codes
+        cand = []          # (aln, qc_aln, r0, r1, q0, q1, off)
+        qc_cache: dict[tuple[str, int], np.ndarray] = {}
+        for a in alns:
+            key = (a.qname, a.strand)
+            qc = qc_cache.get(key)
+            if qc is None:
+                qc = encode_seq(query_seqs[a.qname])
+                if a.strand == -1:
+                    qc = revcomp_codes(qc)
+                qc_cache[key] = qc
+            tc = self.ref_codes[a.ref_name]
+            for r0, r1, q0, q1 in self._soup_runs(a, qc, tc):
+                cand.append((a, qc, r0, r1, q0, q1))
+        if not cand:
+            return []
+        # one DP batch per size bucket; rows alternate (rc, fwd)
+        by_bucket: dict[int, list[int]] = {}
+        for i, (_a, _qc, r0, r1, q0, q1) in enumerate(cand):
+            by_bucket.setdefault(_bucket(max(r1 - r0, q1 - q0)), []).append(i)
+        out: list[Alignment] = []
+        for nb, idxs in by_bucket.items():
+            qs, ts = [], []
+            for i in idxs:
+                a, qc, r0, r1, q0, q1 = cand[i]
+                qseg = qc[q0:q1]
+                tseg = self.ref_codes[a.ref_name][r0:r1]
+                qs.append(revcomp_codes(qseg))
+                ts.append(tseg)
+                qs.append(qseg)
+                ts.append(tseg)
+            q_pad, qlen = pad_codes(qs, pad_to=nb)
+            t_pad, tlen = pad_codes(ts, pad_to=nb)
+            q_pad, t_pad, qlen, tlen, _B = pad_batch_pow2(
+                q_pad, t_pad, qlen, tlen)
+            cigs = banded_align_cigars(q_pad, t_pad, qlen, tlen,
+                                       W=256, d_lo=-128, scores=self.scores)
+            for row, i in enumerate(idxs):
+                a, qc, r0, r1, q0, q1 = cand[i]
+                rc_cig, fwd_cig = cigs[2 * row], cigs[2 * row + 1]
+                sc_rc = _cigar_score(rc_cig, qs[2 * row], ts[2 * row],
+                                     self.scores)
+                sc_fwd = _cigar_score(fwd_cig, qs[2 * row + 1],
+                                      ts[2 * row + 1], self.scores)
+                # min of the two spans: an inversion with an interior
+                # deletion matches over the shorter side and pays one gap
+                span = min(q1 - q0, r1 - r0)
+                floor = self.cfg.inv_rescue_min_score_frac \
+                    * self.scores.match * span
+                if not (sc_rc > sc_fwd + 10 and sc_rc >= floor):
+                    continue
+                # the rescued segment is the revcomp of the parent window;
+                # in the new alignment's orientation (reverse of the
+                # parent's) query offset x maps to qlen - x
+                left_new = a.qlen - q1
+                right_new = q0
+                cigar = _merge_cigar(
+                    ([(S, left_new)] if left_new else [])
+                    + [(op, ln) for op, ln in rc_cig]
+                    + ([(S, right_new)] if right_new else []))
+                out.append(Alignment(
+                    qname=a.qname, ref_name=a.ref_name, ref_id=a.ref_id,
+                    pos=r0, strand=-a.strand, mapq=50, cigar=cigar,
+                    score=float(sc_rc), is_supplementary=True, qlen=a.qlen,
+                    q_start=left_new, q_end=left_new + (q1 - q0)))
+        if out:
+            log.info("inversion rescue: %d inverted segments from %d "
+                     "soup windows", len(out), len(cand))
+        return out
 
     def to_bam_records(self, alns: list[Alignment],
                        query_seqs: dict[str, str]) -> list[BamRecord]:

@@ -30,21 +30,40 @@ log = get_logger("assembly_farm")
 
 
 def run_assembly(groups: dict[str, list[str]], cfg: AssemblyConfig,
+                 weights: dict[str, list[float]] | None = None,
                  ) -> tuple[dict[str, str], list[str]]:
     """groups: hap_name → read seqs.  Returns (contigs {name: seq},
-    failed hap names).  Contig naming: <hap_name>_<n>."""
+    failed hap names).  Contig naming: <hap_name>_<n>.
+
+    weights: per-read phase-confidence vote weights aligned with each
+    group's seq list (pipeline.asm passes 1.0 for phased/single-assigned
+    reads, <1 for double-assigned ones — those may be the OTHER
+    haplotype, so they must not outvote phased reads in consensus)."""
     names = sorted(groups)
     if not names:
         return {}, []
     reads_by_gi: dict[int, list[str]] = {}
+    weights_by_gi: dict[int, list[float]] = {}
     pool: list[str] = []
     group_of: list[int] = []
     offsets: list[int] = []
     for gi, name in enumerate(names):
         seqs = groups[name]
+        wts = (weights or {}).get(name)
+        if wts is None or len(wts) != len(seqs):
+            wts = [1.0] * len(seqs)
         if cfg.dedup_reads:
-            seqs = _dedup_reads(seqs)
+            seen: dict[str, int] = {}
+            ds, dw = [], []
+            for s, w in zip(seqs, wts):
+                if s in seen:
+                    continue
+                seen[s] = 1
+                ds.append(s)
+                dw.append(w)
+            seqs, wts = ds, dw
         reads_by_gi[gi] = seqs
+        weights_by_gi[gi] = wts
         offsets.append(len(pool))
         pool.extend(seqs)
         group_of.extend([gi] * len(seqs))
@@ -86,7 +105,8 @@ def run_assembly(groups: dict[str, list[str]], cfg: AssemblyConfig,
         with stage_timer("farm_polish", log):
             drafts_by_gi, votes = polish_grouped(
                 drafts_by_gi, reads_by_gi, AlignConfig.preset("map-hifi"),
-                rounds=cfg.consensus_rounds)
+                rounds=cfg.consensus_rounds,
+                weights_by_group=weights_by_gi)
         # drop leak-artifact fragment drafts: a draft of a multi-draft,
         # polished group attracting fewer than min_draft_reads primary
         # reads is built from stray double-assigned reads of the OTHER

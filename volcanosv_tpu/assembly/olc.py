@@ -422,19 +422,29 @@ def _window_offsets(rec, bounds: list[int]) -> dict[int, int]:
     return out
 
 
-def _column_vote(backbone: str, subs: list[str]) -> str:
+def _column_vote(backbone: str, subs: list[str],
+                 weights: list[float] | None = None) -> str:
     """Per-column majority consensus of `subs` aligned to `backbone` —
     the POA column vote: every substring is aligned to the SAME backbone
     (batched banded DP on device), so correlated indel errors line up in
-    the same columns and majority vote resolves them."""
+    the same columns and majority vote resolves them.
+
+    weights: per-substring vote weight (phase-confidence: a double-
+    assigned read's substring may be the OTHER haplotype's allele, so it
+    must not outvote phased reads around a het variant)."""
     from ..ops.banded_align import Scores, banded_align_cigars, pad_batch_pow2
     from ..ops.pack import pad_codes
     bb = encode_seq(backbone)
     L = len(bb)
     W = 64
-    usable = [s for s in subs if abs(len(s) - L) < W // 2 - 4 and s]
-    if len(usable) < 2:
+    if weights is None:
+        weights = [1.0] * len(subs)
+    pairs = [(s, w) for s, w in zip(subs, weights)
+             if abs(len(s) - L) < W // 2 - 4 and s]
+    if len(pairs) < 2:
         return backbone
+    usable = [s for s, _ in pairs]
+    wts = [w for _, w in pairs]
     qs = [encode_seq(s) for s in usable]
     Lq = max(max(len(q) for q in qs), L)
     pad_to = -(-Lq // 8) * 8
@@ -445,27 +455,27 @@ def _column_vote(backbone: str, subs: list[str]) -> str:
     cigs = banded_align_cigars(q_pad, t_pad, qlen, tlen, W=W, d_lo=-(W // 2),
                                scores=Scores(match=2, mismatch=-3,
                                              gap_open=-4, gap_extend=-2))
-    base_votes = np.zeros((L, 5), np.int32)         # A C G T + del
-    ins_at: dict[int, dict[str, int]] = {}
-    for s, cig in zip(usable, cigs[:len(usable)]):
+    base_votes = np.zeros((L, 5), np.float64)       # A C G T + del
+    ins_at: dict[int, dict[str, float]] = {}
+    for s, w, cig in zip(usable, wts, cigs[:len(usable)]):
         t_pos = q_pos = 0
         sc = encode_seq(s)
         for op, ln in cig:
             if op == 0:                              # M
                 cols = np.arange(t_pos, t_pos + ln)
                 np.add.at(base_votes, (cols, np.minimum(
-                    sc[q_pos:q_pos + ln], 3)), 1)
+                    sc[q_pos:q_pos + ln], 3)), w)
                 t_pos += ln
                 q_pos += ln
             elif op == 1:                            # I (in sub, not bb)
                 d = ins_at.setdefault(t_pos, {})
                 piece = s[q_pos:q_pos + ln]
-                d[piece] = d.get(piece, 0) + 1
+                d[piece] = d.get(piece, 0.0) + w
                 q_pos += ln
             else:                                    # D
-                base_votes[t_pos:t_pos + ln, 4] += 1
+                base_votes[t_pos:t_pos + ln, 4] += w
                 t_pos += ln
-    n = len(usable)
+    n = float(sum(wts))
     out: list[str] = []
     for p in range(L):
         ins = ins_at.get(p)
@@ -555,7 +565,8 @@ def _confident_bounds(draft_codes: np.ndarray, recs: list, win: int,
 
 
 def _consensus_poa(draft: str, recs: list, win: int = 200,
-                   max_cands: int = 24) -> str:
+                   max_cands: int = 24,
+                   weight_of=None) -> str:
     """Windowed POA consensus (the wtpoa-cns/hifiasm-POA role,
     General_Assembly_Workflow.py:69-73 / hifiasm POA.cpp): cut the draft
     into ~`win`-bp windows, extract each covering read's substring from its
@@ -570,30 +581,33 @@ def _consensus_poa(draft: str, recs: list, win: int = 200,
         return draft
     bounds = _confident_bounds(encode_seq(draft), recs, win)
     n_win = len(bounds) - 1
-    subs_per_win: list[list[str]] = [[] for _ in range(n_win)]
+    subs_per_win: list[list[tuple[str, float]]] = [[] for _ in range(n_win)]
     for r in recs:
         if r.is_unmapped or r.is_secondary or r.is_supplementary:
             continue
         offs = _window_offsets(r, bounds)
         seq = r.seq
+        w_r = 1.0 if weight_of is None else float(weight_of(r.name))
         for wi in range(n_win):
             a, b = bounds[wi], bounds[wi + 1]
             if a in offs and b in offs and offs[b] > offs[a]:
-                subs_per_win[wi].append(seq[offs[a]:offs[b]])
+                subs_per_win[wi].append((seq[offs[a]:offs[b]], w_r))
     out: list[str] = []
-    from collections import Counter
     for wi in range(n_win):
-        subs = subs_per_win[wi]
+        sw = subs_per_win[wi]
         window_ref = draft[bounds[wi]:bounds[wi + 1]]
-        if len(subs) < 2:
+        if len(sw) < 2:
             out.append(window_ref)
             continue
-        counts = Counter(subs)
-        top, cnt = counts.most_common(1)[0]
-        if 2 * cnt > len(subs):
-            out.append(top)                          # exact-majority fast path
+        counts: dict[str, float] = {}
+        for s, w in sw:
+            counts[s] = counts.get(s, 0.0) + w
+        total = sum(w for _s, w in sw)
+        top, cnt = max(counts.items(), key=lambda kv: kv[1])
+        if 2 * cnt > total:
+            out.append(top)                          # weighted-majority fast path
             continue
-        # medoid: candidate minimizing the count-weighted edit distance to
+        # medoid: candidate minimizing the weight-weighted edit distance to
         # every distinct substring (batched device kernel).  The current
         # draft window competes as a candidate too — when the draft is
         # already correct it wins (lowest summed distance) and the column
@@ -606,7 +620,8 @@ def _consensus_poa(draft: str, recs: list, win: int = 200,
         w = np.array([counts[u] for u in uniq], np.float64)
         cost = dists.reshape(len(cands), len(uniq)).astype(np.float64) @ w
         medoid = cands[int(np.argmin(cost))]
-        out.append(_column_vote(medoid, subs))
+        out.append(_column_vote(medoid, [s for s, _ in sw],
+                                [w for _, w in sw]))
     return "".join(out)
 
 
@@ -649,7 +664,8 @@ def polish(draft: str, read_seqs: list[str], acfg: AlignConfig,
 
 def polish_grouped(drafts_by_group: dict[int, list[str]],
                    reads_by_group: dict[int, list[str]],
-                   acfg: AlignConfig, rounds: int = 1
+                   acfg: AlignConfig, rounds: int = 1,
+                   weights_by_group: dict[int, list[float]] | None = None,
                    ) -> tuple[dict[int, list[str]], dict[int, list[int]]]:
     """Pileup-consensus polish of EVERY group's drafts in one aligner
     launch per round — the batched farm's polish stage (one index over all
@@ -686,13 +702,20 @@ def polish_grouped(drafts_by_group: dict[int, list[str]],
             if g_t != g_r:
                 continue                    # cross-haplotype hit
             by_draft.setdefault((int(g_t), int(d_t)), []).append(r)
+        def _w_of(name: str) -> float:
+            if weights_by_group is None:
+                return 1.0
+            g, ri = name[1:].split("|r")
+            ws = weights_by_group.get(int(g))
+            return ws[int(ri)] if ws else 1.0
+
         changed = False
         for gi in live:
             new_list = []
             vlist = []
             for di, d in enumerate(drafts[gi]):
                 rs = by_draft.get((gi, di))
-                nd = _consensus_poa(d, rs) if rs else d
+                nd = _consensus_poa(d, rs, weight_of=_w_of) if rs else d
                 changed = changed or nd != d
                 new_list.append(nd)
                 vlist.append(sum(1 for r in (rs or [])

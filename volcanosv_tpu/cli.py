@@ -556,48 +556,90 @@ def cmd_vc_large_indel(args) -> int:
 
 
 def cmd_vc_small_indel(args) -> int:
+    """Standalone small-indel driver — multi-process capable: each host
+    calls its chromosome shard (query-sharded alignment), rank 0 merges
+    (the reference's per-chromosome cluster story, README.md:244-255)."""
     from .io.fasta import read_fasta
+    from .parallel.mesh import init_multihost
     from .vc.small_indel import call_small_indels
+    init_multihost()
     ref = _load_ref(args.ref)
     contigs = read_fasta(args.contig)
     cfg = PipelineConfig.for_dtype(args.dtype)
     _load_bed_regions(args)
-    by_chrom, _ = _align_by_chrom(ref, contigs, "asm20")
-    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
+    chroms = _restrict_chroms(args, _own_chroms(ref))
+    by_chrom = _align_by_chrom_sharded(ref, contigs, "asm20", args.out_dir,
+                                       "contigs_asm20", want=chroms)
+    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref, want=chroms)
     records = []
-    for chrom in _restrict_chroms(args, list(ref)):
+    for chrom in chroms:
         with stage_timer(f"small-indel[{chrom}]", log):
             records += call_small_indels(
                 chrom, by_chrom.get(chrom, []), ref[chrom], cfg,
                 reads_records=(reads_by_chrom or {}).get(chrom))
-    _vcf_out(args.out_dir, "volcanosv_small_indel.vcf", ref, records)
+    _vcf_out_sharded(args.out_dir, "volcanosv_small_indel.vcf", ref, records)
     return 0
 
 
-def cmd_vc_complex_sv(args) -> int:
-    from .io.fasta import read_fasta
-    from .vc.complex_sv import call_complex_svs
+def _harvest_ins_records(args, ref, contigs, cfg, chroms):
+    """INS calls driving DUP recovery (volcanosv-vc-complex-sv.py:131-138).
+
+    The reference's complex driver consumes the LARGE-INDEL VCF
+    (align_ins2ref.py input); --large_vcf reuses one instead of re-running
+    the whole large-indel caller per chromosome (round-3 weak #6)."""
+    from .io.vcf import read_vcf
     from .vc.large_indel import call_chromosome
+    if getattr(args, "large_vcf", None):
+        _h, recs = read_vcf(args.large_vcf)
+        return [r for r in recs if r.svtype == "INS" and r.chrom in chroms]
+    by_chrom = _align_by_chrom_sharded(ref, contigs, "asm5", args.out_dir,
+                                       "contigs_asm5", want=chroms)
+    out = []
+    for chrom in chroms:
+        out += [r for r in call_chromosome(
+            chrom, by_chrom.get(chrom, []), ref[chrom], contigs, cfg)
+            if r.svtype == "INS"]
+    return out
+
+
+def cmd_vc_complex_sv(args) -> int:
+    """Standalone complex-SV driver — multi-process capable: alignment and
+    the INS harvest run on each host's shard; the (global, cross-chrom)
+    pairing stage runs identically on every host from the exchanged
+    record/alignment sets and rank 0 writes the VCF."""
+    from .io.fasta import read_fasta
+    from .parallel import multiproc as mp
+    from .parallel.mesh import init_multihost
+    from .vc.complex_sv import call_complex_svs
+    init_multihost()
     ref = _load_ref(args.ref)
     contigs = read_fasta(args.contig)
     cfg = PipelineConfig.for_dtype(args.dtype)
     _load_bed_regions(args)
-    by_chrom, _ = _align_by_chrom(ref, contigs, "asm10")
-    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref)
     chroms = _restrict_chroms(args, list(ref))
-    # INS calls for DUP recovery (volcanosv-vc-complex-sv.py:131-138)
-    ins_records = []
-    for chrom in chroms:
-        ins_records += [r for r in call_chromosome(
-            chrom, by_chrom.get(chrom, []), ref[chrom], contigs, cfg)
-            if r.svtype == "INS"]
+    own = [c for c in _own_chroms(ref) if c in chroms]
+    # complex pairing is WGS-global (cross-chrom BND mates): every host
+    # needs all chromosomes' contig alignments
+    by_chrom = _align_by_chrom_sharded(ref, contigs, "asm10", args.out_dir,
+                                       "contigs_asm10", want=chroms)
+    reads_by_chrom, _ = _maybe_reads_by_chrom(args, ref, want=chroms)
+    ins_own = _harvest_ins_records(args, ref, contigs, cfg, own)
+    ins_by_chrom: dict[str, list] = {c: [] for c in ref}
+    for r in ins_own:
+        ins_by_chrom[r.chrom].append(r)
+    ins_by_chrom = mp.exchange_by_chrom(ins_by_chrom, args.out_dir,
+                                        "cx_ins_recs", want=list(ref))
+    ins_records = [r for c in ref for r in ins_by_chrom.get(c, [])]
+    ins_records.sort(key=lambda r: (r.chrom, r.pos, r.id))
     if len(chroms) != len(ref):
         by_chrom = {c: by_chrom.get(c, []) for c in chroms}
     with stage_timer("complex-sv", log):
         records = call_complex_svs(by_chrom, ref, cfg,
                                    ins_records=ins_records,
                                    reads_by_chrom=reads_by_chrom)
-    _vcf_out(args.out_dir, "volcanosv_complex_sv.vcf", ref, records)
+    if mp.is_rank0():
+        _vcf_out(args.out_dir, "volcanosv_complex_sv.vcf", ref, records)
+    mp.barrier("cx-final")
     return 0
 
 
@@ -687,12 +729,23 @@ def cmd_run(args) -> int:
                                ref, small)
 
     cx_by_chrom = _align_by_chrom_sharded(ref, contigs, "asm10",
-                                          args.out_dir, "ctg_asm10")
+                                          args.out_dir, "ctg_asm10",
+                                          want=(None if mp.is_rank0()
+                                                else []))
     consumed: set = set()
-    complex_recs = call_complex_svs(cx_by_chrom, ref, cfg,
-                                    ins_records=ins_records,
-                                    reads_by_chrom=reads_by_chrom,
-                                    consumed_ins=consumed)
+    # the WGS-global complex stage (cross-chrom BND pairing + DUP-recovery
+    # realignment) runs ONCE on rank 0; (records, consumed INS ids) are
+    # broadcast so every host filters its large-indel share identically
+    if mp.is_rank0():
+        complex_recs = call_complex_svs(cx_by_chrom, ref, cfg,
+                                        ins_records=ins_records,
+                                        reads_by_chrom=reads_by_chrom,
+                                        consumed_ins=consumed)
+    else:
+        complex_recs = None
+    complex_recs, consumed = mp.broadcast_from_rank0(
+        (complex_recs, consumed) if mp.is_rank0() else None,
+        args.out_dir, "complex")
     p_cx = os.path.join(args.out_dir, "volcanosv_complex_sv.vcf")
     if mp.is_rank0():
         _vcf_out(args.out_dir, "volcanosv_complex_sv.vcf", ref, complex_recs)
@@ -808,6 +861,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("vc-complex-sv", help="INV/DUP/TRA calling")
     _add_common(p, contig=True)
+    p.add_argument("--large_vcf",
+                   help="large-indel VCF whose INS records drive DUP "
+                        "recovery (align_ins2ref.py input contract); "
+                        "without it the large-indel caller runs inline")
     p.set_defaults(fn=cmd_vc_complex_sv)
 
     p = sub.add_parser("eval", help="truvari-equivalent SV benchmark")
@@ -831,7 +888,26 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for the production path.
+
+    Round-3 bench: the first dp_windows batch took 1204s of compiles vs
+    0.16s warm — tests pinned a cache (conftest) but the CLI did not.  A
+    disk cache drops the cold start to cache-deserialize time on backends
+    that support it; harmless where unsupported."""
+    try:
+        import jax
+        d = os.environ.get("VOLCANOSV_JAX_CACHE",
+                           os.path.expanduser("~/.cache/volcanosv_jax"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:                      # never fail the CLI over a cache
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     trace_dir = getattr(args, "profile_trace", None)
     if trace_dir:

@@ -66,20 +66,41 @@ class AlignConfig:
     # class past the cost crossover, here k > 20bp.
     gap_open2: int | None = None
     gap_extend2: int | None = None
+    # inversion rescue: a small (≲600bp) inversion is swallowed by chaining
+    # as a dense mismatch/indel 'soup' window instead of splitting into an
+    # opposite-strand segment (the classic minimap2 small-INV blindspot —
+    # svim-asm only ever sees INVs as split segments, SVIM_inter.py:62-340).
+    # When enabled, soup windows are re-aligned reverse-complemented and a
+    # winning window is emitted as a proper inverted supplementary
+    # alignment.  Off for ava (overlap candidates don't need it).
+    inv_rescue: bool = False
+    inv_rescue_density: float = 0.25  # (mismatch+indel events)/bp trigger
+    #                                   — must exceed the platform noise
+    # acceptance floor as a fraction of the perfect-match score: a true
+    # inverted window re-aligns near-perfectly reverse-complemented, while
+    # a consensus-garbled window (mixed-haplotype assembly noise) aligns
+    # poorly BOTH ways — without the floor it can win the rc-vs-fwd
+    # comparison and fabricate an inversion on the wrong haplotype
+    inv_rescue_min_score_frac: float = 0.65
 
     @staticmethod
     def preset(name: str) -> "AlignConfig":
         if name == "asm5":
-            return AlignConfig(k=19, w=10)
+            return AlignConfig(k=19, w=10, inv_rescue=True)
         if name == "asm10":
-            return AlignConfig(k=19, w=10, mismatch=-3)
+            return AlignConfig(k=19, w=10, mismatch=-3, inv_rescue=True)
         if name == "asm20":
             return AlignConfig(k=19, w=10, mismatch=-2,
-                               gap_open2=-24, gap_extend2=-1)
+                               gap_open2=-24, gap_extend2=-1, inv_rescue=True)
         if name == "map-hifi":
-            return AlignConfig(k=19, w=19, min_chain_score=60)
+            return AlignConfig(k=19, w=19, min_chain_score=60,
+                               inv_rescue=True)
         if name in ("map-ont", "map-pb"):
-            return AlignConfig(k=15, w=10, min_chain_score=60)
+            # CLR/ONT base error ≈ 0.09-0.14 events/bp — the soup trigger
+            # must sit above it
+            return AlignConfig(k=15, w=10, min_chain_score=60,
+                               inv_rescue=True, inv_rescue_density=0.4,
+                               inv_rescue_min_score_frac=0.35)
         if name == "ava":
             return AlignConfig(k=15, w=5, min_chain_score=60, min_chain_anchors=2)
         raise ValueError(f"unknown preset {name}")
@@ -307,6 +328,31 @@ class PhasingConfig:
     # tightly are mismapping/inversion artifacts, not real variation
     dense_count: int = 6             # ≥ this many candidates ...
     dense_window: int = 100          # ... within this window → drop all
+    dense_margin: int = 30           # dense intervals grow by this margin
+    dense_min_span: int = 50         # interval mask floor: separates SV
+    #                                  soup (≥ SV size, 50bp+) from the
+    #                                  ~15-20bp alignment-shift shadow
+    #                                  clusters the pair-HMM can heal
+    # SV-aware phasing markers: ≥30bp read-CIGAR indel clusters and dense-
+    # mismatch (inversion-soup) intervals become extra MEC columns so reads
+    # phase through het-SNP deserts — carrier/non-carrier separation is
+    # exactly the haplotype signal longshot cannot see (SNVs only); the
+    # markers never reach the SNP VCF
+    sv_markers: bool = True
+    marker_min_len: int = 30         # indel marker: event length floor
+    #                                  (for_dtype lowers it to 6 on HiFi —
+    #                                  error indels are 1-3bp there, so
+    #                                  6bp+ events are real het signal)
+    marker_max_shift: int = 100      # indel marker clustering shift
+    marker_min_carriers: int = 3     # het gate: ≥ carriers and
+    marker_min_refs: int = 3         #          ≥ clean spanning reads
+    # carrier-fraction band (het evidence): a real het SV among clean
+    # spanning reads sits near 0.5; representation-lottery artifacts (an
+    # event visible in only a few alignments) hug the edges
+    marker_min_frac: float = 0.25
+    marker_max_frac: float = 0.80
+    marker_soup_events: int = 4      # soup marker: ≥ events inside the
+    #                                  dense interval → carrier; ≤1 → clean
 
     @staticmethod
     def for_dtype(dtype: "DataType | str") -> "PhasingConfig":
@@ -318,8 +364,9 @@ class PhasingConfig:
         # gate decide from a lower enumeration floor
         af = base.min_allele_frac if DataType(dtype) == DataType.HIFI \
             else 0.15
+        mml = 6 if DataType(dtype) == DataType.HIFI else base.marker_min_len
         return dataclasses.replace(base, error_rate=rate,
-                                   min_allele_frac=af)
+                                   min_allele_frac=af, marker_min_len=mml)
 
 
 @dataclass(frozen=True)

@@ -98,6 +98,26 @@ def _atomic_pickle(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def broadcast_from_rank0(obj, out_dir: str, tag: str):
+    """Rank 0 computes once; every other process loads its pickle after
+    the barrier (dedups the WGS-global complex-SV stage, which round 3 ran
+    P× — once per host — for identical output).  Single-process: identity.
+    Non-rank-0 callers pass obj=None."""
+    P = n_processes()
+    if P == 1:
+        return obj
+    xch = os.path.join(out_dir, "xch")
+    os.makedirs(xch, exist_ok=True)
+    path = os.path.join(xch, f"{tag}_P{P}_bcast.pkl")
+    if is_rank0():
+        _atomic_pickle(path, obj)
+    barrier(f"bcast:{tag}")
+    if is_rank0():
+        return obj
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
 def exchange_by_chrom(local: dict[str, list], out_dir: str, tag: str,
                       want: list[str] | None = None,
                       sort_key=lambda r: r.pos) -> dict[str, list]:

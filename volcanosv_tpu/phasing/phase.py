@@ -111,6 +111,9 @@ class PhaseResult:
     hom_pos: np.ndarray
     hom_ref: np.ndarray
     hom_alt: np.ndarray
+    # SV-marker columns (pileup.PileupResult.marker): phased like SNPs but
+    # excluded from the SNP VCF output
+    marker: np.ndarray = None   # (S,) bool over snp_pos
 
     def blocks(self) -> list[tuple[int, int, int]]:
         """[(block_id, start_pos, end_pos)] (0-based inclusive span)."""
@@ -128,13 +131,16 @@ def phase_chromosome(pile: PileupResult, cfg: PhasingConfig,
     het_idx = np.nonzero(pile.is_het)[0]
     hom_sel = ~pile.is_het
     n_reads = len(pile.read_names)
+    pile_marker = pile.marker if pile.marker is not None \
+        else np.zeros(len(pile.snp_pos), bool)
     if len(het_idx) == 0 or n_reads == 0:
         return PhaseResult(
             np.zeros(0, np.int64), np.zeros(0, np.int8), np.zeros(0, np.int8),
             np.zeros(0, np.int8), np.zeros(0, np.int64),
             np.zeros(n_reads, np.int8), np.full(n_reads, -1, np.int64),
             pile.read_names, 0, pile.snp_pos[hom_sel],
-            pile.ref_base[hom_sel], pile.alt_base[hom_sel])
+            pile.ref_base[hom_sel], pile.alt_base[hom_sel],
+            marker=np.zeros(0, bool))
 
     # compress obs to het sites
     remap = np.full(len(pile.snp_pos), -1, np.int64)
@@ -152,6 +158,34 @@ def phase_chromosome(pile: PileupResult, cfg: PhasingConfig,
         n_iter=cfg.max_phase_iter, n_restarts=n_restarts)
     h = np.asarray(h)
     a = np.asarray(a)
+
+    # self-healing pass: an SV marker column whose observations fight the
+    # SNP-derived solution (alignment-representation lottery — the event
+    # surfaces in only some carriers' CIGARs) contributes concentrated MEC
+    # at its own site.  Null its obs and re-solve; SNP columns stay.
+    site_marker = pile_marker[het_idx]
+    if site_marker.any() and len(obs_read):
+        cons = a[obs_read] * h[obs_snp] * obs_allele
+        informative = obs_allele != 0
+        bad = np.bincount(obs_snp[informative & (cons < 0)], minlength=S)
+        tot = np.bincount(obs_snp[informative], minlength=S)
+        poison = site_marker & (tot >= 4) & (bad > 0.15 * tot)
+        if poison.any():
+            keep_o = ~poison[obs_snp]
+            obs_read2 = obs_read[keep_o]
+            obs_snp2 = obs_snp[keep_o]
+            obs_allele2 = obs_allele[keep_o]
+            if len(obs_read2):
+                h0 = chain_init(obs_read2, obs_snp2, obs_allele2, S)
+                h, a, mec = _mec_phase(
+                    jnp.asarray(obs_read2), jnp.asarray(obs_snp2),
+                    jnp.asarray(obs_allele2), jnp.asarray(h0),
+                    jax.random.PRNGKey(seed), n_reads=n_reads, n_snps=S,
+                    n_iter=cfg.max_phase_iter, n_restarts=n_restarts)
+                h = np.asarray(h)
+                a = np.asarray(a)
+                obs_read, obs_snp, obs_allele = (obs_read2, obs_snp2,
+                                                 obs_allele2)
 
     # phase blocks: SNP i and i+1 connected iff some read observes both
     # (per-read [min,max] snp interval overlay)
@@ -197,4 +231,4 @@ def phase_chromosome(pile: PileupResult, cfg: PhasingConfig,
         block_id=block_id, read_hap=read_hap, read_block=read_block,
         read_names=pile.read_names, mec=int(mec),
         hom_pos=pile.snp_pos[hom_sel], hom_ref=pile.ref_base[hom_sel],
-        hom_alt=pile.alt_base[hom_sel])
+        hom_alt=pile.alt_base[hom_sel], marker=pile_marker[het_idx])

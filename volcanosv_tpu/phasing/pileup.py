@@ -28,7 +28,7 @@ _M, _I, _D, _S, _H, _EQ, _X = 0, 1, 2, 4, 5, 7, 8
 
 def _aligned_pairs(rec: BamRecord):
     """(ref_idx, read_idx) int64 arrays for all M/=/X columns plus the ref
-    positions of I/D gap events (vectorized)."""
+    positions/lengths/types of I/D gap events (vectorized)."""
     cigar = np.asarray(rec.cigar)
     ops = cigar[:, 0]
     lens = cigar[:, 1].astype(np.int64)
@@ -38,17 +38,19 @@ def _aligned_pairs(rec: BamRecord):
     q0 = np.concatenate([[0], np.cumsum(cq)[:-1]])
     ind = np.isin(ops, (_I, _D)) & (lens > 0)
     indel_pos = ref0[ind]
+    indel_len = lens[ind]
+    indel_isdel = ops[ind] == _D
     m = np.isin(ops, (_M, _EQ, _X)) & (lens > 0)
     if not m.any():
         z = np.zeros(0, np.int64)
-        return z, z, indel_pos
+        return z, z, indel_pos, indel_len, indel_isdel
     ls = lens[m]
     total = int(ls.sum())
     base = np.repeat(np.cumsum(ls) - ls, ls)
     offs = np.arange(total) - base
     ref_idx = np.repeat(ref0[m], ls) + offs
     read_idx = np.repeat(q0[m], ls) + offs
-    return ref_idx, read_idx, indel_pos
+    return ref_idx, read_idx, indel_pos, indel_len, indel_isdel
 
 
 @dataclass
@@ -65,6 +67,10 @@ class PileupResult:
     obs_snp: np.ndarray        # (O,) int32 snp index
     obs_allele: np.ndarray     # (O,) int8 +1=ref, -1=alt, 0=other
     read_names: list[str]
+    # SV-aware phasing markers (PhasingConfig.sv_markers): True rows are
+    # het indel/inversion-soup columns used ONLY for phasing/partition —
+    # they must never reach the SNP VCF
+    marker: np.ndarray = None  # (S,) bool
 
 
 def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
@@ -79,11 +85,14 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     segs = []             # cached (ref_idx, read_idx, codes) for realignment
     names: list[str] = []
     do_realign = cfg.realign and cfg.error_rate is not None
+    rec_span: list[tuple[int, int]] = []    # per pileup record (start, end)
+    rec_events: list[tuple] = []            # per record (pos, len, isdel)
     for rec in records:
         if rec.is_unmapped or rec.is_secondary or rec.mapq < cfg.min_mapq \
                 or not rec.seq:
             continue
-        ref_idx, read_idx, indel_pos = _aligned_pairs(rec)
+        ref_idx, read_idx, indel_pos, indel_len, indel_isdel = \
+            _aligned_pairs(rec)
         if len(ref_idx) == 0:
             continue
         ok = (ref_idx >= 0) & (ref_idx < L)
@@ -103,9 +112,12 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
                 icov[lo] += 1
                 icov[min(int(ip) + 11, L)] -= 1
         names.append(rec.name)
+        rec_span.append((rec.pos, rec.reference_end))
         cov[rec.pos] += 1
         cov[min(rec.reference_end, L)] -= 1
         mism = (rb != ref_codes[ref_idx]) & (rb < 4) & (ref_codes[ref_idx] < 4)
+        rec_events.append((indel_pos, indel_len, indel_isdel,
+                           ref_idx[mism]))
         mm_pos.append(ref_idx[mism])
         mm_base.append(rb[mism])
     coverage = np.cumsum(cov[:-1])
@@ -115,7 +127,8 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         # draft exactly) — empty candidate set
         z8, z32, z64 = np.zeros(0, np.int8), np.zeros(0, np.int32), np.zeros(0, np.int64)
         return PileupResult(z64, z8, z8, z32, z32, z32,
-                            np.zeros(0, bool), z32, z32, z8, names)
+                            np.zeros(0, bool), z32, z32, z8, names,
+                            marker=np.zeros(0, bool))
 
     ap = np.concatenate(mm_pos)
     ab = np.concatenate(mm_base).astype(np.int64)
@@ -156,6 +169,7 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     cand_pos, cand_alt, cand_cnt = cand_pos[keep], cand_alt[keep], cand_cnt[keep]
     cand_alt2 = cand_alt2[keep]
     depth, af, near_indel = depth[keep], af[keep], near_indel[keep]
+    af_floor = af_floor[keep]
 
     # --- pair-HMM realignment of near-indel candidate sites -------------
     realigned_obs: dict[tuple[int, int], int] = {}   # (read idx, site j)
@@ -236,6 +250,29 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
             for i in range(N):
                 realigned_obs[(p_read[i], int(site_arr[i]))] = int(alleles[i])
 
+    # dense intervals measured on the PRE-likelihood candidate set, kept
+    # only when the merged interval SPANS ≥ dense_window: a het inversion's
+    # carrier reads mismatch at ~3/4 of its columns over its whole length
+    # (100s of bp), while the alignment-shift shadow cluster around a real
+    # indel is dense but TIGHT (≲30bp) — span separates them, so the
+    # pair-HMM can still rescue the shadowed SNP while every in-soup
+    # column (the round-3 FP-SNP source) is interval-masked.
+    dense_ivals: list[tuple[int, int]] = []
+    if cfg.dense_count > 0 and cfg.error_rate is not None and len(cand_pos):
+        half = cfg.dense_window // 2
+        lo_d = np.searchsorted(cand_pos, cand_pos - half, side="left")
+        hi_d = np.searchsorted(cand_pos, cand_pos + half, side="right")
+        dpos = cand_pos[(hi_d - lo_d) >= cfg.dense_count]
+        raw: list[list[int]] = []
+        for p in dpos:
+            p = int(p)
+            if raw and p - raw[-1][1] <= cfg.dense_window:
+                raw[-1][1] = p
+            else:
+                raw.append([p, p])
+        dense_ivals = [(a - cfg.dense_margin, b + cfg.dense_margin)
+                       for a, b in raw if b - a >= cfg.dense_min_span]
+
     if cfg.error_rate is not None and len(cand_pos):
         # genotype likelihoods (binomial, flat prior): hom-ref sees the alt
         # only via error (e/3 to a specific base), het at ~0.5, hom-alt
@@ -266,15 +303,22 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     else:
         is_het = af <= cfg.max_allele_frac
 
-    # dense-cluster filter (longshot -D role): a het inversion's reads
-    # align across the inverted segment as mismatch soup, making every
-    # column a plausible 'het SNP'; real SNVs never pack ≥ dense_count
-    # into dense_window bp, so drop whole clusters
+    # dense-cluster filter (longshot -D role): drop survivors inside a
+    # pre-likelihood dense interval (inversion soup), plus the plain
+    # survivor-density rule — real SNVs never pack ≥ dense_count into
+    # dense_window bp
     if len(cand_pos) and cfg.dense_count > 0 and cfg.error_rate is not None:
+        in_iv = np.zeros(len(cand_pos), bool)
+        if dense_ivals:
+            iv_lo = np.array([a for a, _ in dense_ivals], np.int64)
+            iv_hi = np.array([b for _, b in dense_ivals], np.int64)
+            j = np.searchsorted(iv_lo, cand_pos, side="right") - 1
+            in_iv = (j >= 0) & \
+                (cand_pos <= iv_hi[np.clip(j, 0, len(iv_hi) - 1)])
         half = cfg.dense_window // 2
-        lo = np.searchsorted(cand_pos, cand_pos - half, side="left")
-        hi = np.searchsorted(cand_pos, cand_pos + half, side="right")
-        sparse = (hi - lo) < cfg.dense_count
+        lo_s = np.searchsorted(cand_pos, cand_pos - half, side="left")
+        hi_s = np.searchsorted(cand_pos, cand_pos + half, side="right")
+        sparse = ~in_iv & ((hi_s - lo_s) < cfg.dense_count)
         if not sparse.all():
             cand_pos, cand_alt = cand_pos[sparse], cand_alt[sparse]
             cand_cnt, depth = cand_cnt[sparse], depth[sparse]
@@ -285,40 +329,213 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
                 realigned_obs = {(r, int(new_of[j])): a
                                  for (r, j), a in realigned_obs.items()
                                  if new_of[j] >= 0}
-    if len(cand_pos) == 0:
+    markers = _build_sv_markers(rec_span, rec_events, dense_ivals, cfg) \
+        if (cfg.sv_markers and cfg.error_rate is not None) else []
+
+    if len(cand_pos) == 0 and not markers:
         z8, z32 = np.zeros(0, np.int8), np.zeros(0, np.int32)
         return PileupResult(cand_pos.astype(np.int64), z8, z8, z32, z32,
-                            z32, np.zeros(0, bool), z32, z32, z8, names)
+                            z32, np.zeros(0, bool), z32, z32, z8, names,
+                            marker=np.zeros(0, bool))
 
     # observations at candidate sites
     obs_read, obs_snp, obs_allele = [], [], []
     rbase = ref_codes[cand_pos]
-    for ref_idx, rb, ridx in pairs:
-        j = np.searchsorted(cand_pos, ref_idx)
-        j = np.clip(j, 0, len(cand_pos) - 1)
-        hit = cand_pos[j] == ref_idx
-        if not hit.any():
-            continue
-        js = j[hit]
-        bases = rb[hit]
-        allele = np.where(bases == rbase[js], np.int8(1),
-                          np.where(bases == cand_alt[js], np.int8(-1),
-                                   np.int8(0)))
-        if realigned_obs:
-            # pair-HMM votes override the raw CIGAR-column read-off
-            for t, jj in enumerate(js):
-                a = realigned_obs.get((ridx, int(jj)))
-                if a is not None:
-                    allele[t] = a
-        obs_read.append(np.full(len(js), ridx, np.int32))
-        obs_snp.append(js.astype(np.int32))
-        obs_allele.append(allele)
+    if len(cand_pos):
+        for ref_idx, rb, ridx in pairs:
+            j = np.searchsorted(cand_pos, ref_idx)
+            j = np.clip(j, 0, len(cand_pos) - 1)
+            hit = cand_pos[j] == ref_idx
+            if not hit.any():
+                continue
+            js = j[hit]
+            bases = rb[hit]
+            allele = np.where(bases == rbase[js], np.int8(1),
+                              np.where(bases == cand_alt[js], np.int8(-1),
+                                       np.int8(0)))
+            if realigned_obs:
+                # pair-HMM votes override the raw CIGAR-column read-off
+                for t, jj in enumerate(js):
+                    a = realigned_obs.get((ridx, int(jj)))
+                    if a is not None:
+                        allele[t] = a
+            obs_read.append(np.full(len(js), ridx, np.int32))
+            obs_snp.append(js.astype(np.int32))
+            obs_allele.append(allele)
 
     ref_cnt = (depth - cand_cnt).astype(np.int32)
     cat = (lambda xs, d: np.concatenate(xs) if xs else np.zeros(0, d))
+    out_read = cat(obs_read, np.int32)
+    out_snp = cat(obs_snp, np.int32)
+    out_allele = cat(obs_allele, np.int8)
+    S0 = len(cand_pos)
+    snp_pos = cand_pos.astype(np.int64)
+    ref_base = rbase.astype(np.int8)
+    alt_base = cand_alt
+    alt_cnt = cand_cnt
+    depth32 = depth.astype(np.int32)
+    mark = np.zeros(S0, bool)
+
+    if markers:
+        # append marker columns, then re-sort everything by position
+        m_pos = np.array([p for p, _ in markers], np.int64)
+        m_obs_read, m_obs_snp, m_obs_allele = [], [], []
+        m_alt = np.zeros(len(markers), np.int32)
+        m_dep = np.zeros(len(markers), np.int32)
+        for k, (_p, obs) in enumerate(markers):
+            for ridx, al in obs:
+                m_obs_read.append(ridx)
+                m_obs_snp.append(S0 + k)
+                m_obs_allele.append(al)
+            m_alt[k] = sum(1 for _r, al in obs if al == -1)
+            m_dep[k] = len(obs)
+        snp_pos = np.concatenate([snp_pos, m_pos])
+        ref_base = np.concatenate([ref_base, np.zeros(len(markers), np.int8)])
+        alt_base = np.concatenate([alt_base, np.zeros(len(markers), np.int8)])
+        alt_cnt = np.concatenate([alt_cnt, m_alt])
+        ref_cnt = np.concatenate([ref_cnt, m_dep - m_alt])
+        depth32 = np.concatenate([depth32, m_dep])
+        is_het = np.concatenate([is_het, np.ones(len(markers), bool)])
+        mark = np.concatenate([mark, np.ones(len(markers), bool)])
+        out_read = np.concatenate([out_read,
+                                   np.array(m_obs_read, np.int32)])
+        out_snp = np.concatenate([out_snp, np.array(m_obs_snp, np.int32)])
+        out_allele = np.concatenate([out_allele,
+                                     np.array(m_obs_allele, np.int8)])
+        order = np.argsort(snp_pos, kind="stable")
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order))
+        snp_pos, ref_base, alt_base = snp_pos[order], ref_base[order], alt_base[order]
+        alt_cnt, ref_cnt, depth32 = alt_cnt[order], ref_cnt[order], depth32[order]
+        is_het, mark = is_het[order], mark[order]
+        out_snp = rank[out_snp].astype(np.int32)
+
     return PileupResult(
-        snp_pos=cand_pos.astype(np.int64), ref_base=rbase.astype(np.int8),
-        alt_base=cand_alt, ref_count=ref_cnt, alt_count=cand_cnt,
-        depth=depth.astype(np.int32), is_het=is_het,
-        obs_read=cat(obs_read, np.int32), obs_snp=cat(obs_snp, np.int32),
-        obs_allele=cat(obs_allele, np.int8), read_names=names)
+        snp_pos=snp_pos, ref_base=ref_base,
+        alt_base=alt_base, ref_count=ref_cnt.astype(np.int32),
+        alt_count=alt_cnt.astype(np.int32),
+        depth=depth32, is_het=is_het,
+        obs_read=out_read, obs_snp=out_snp,
+        obs_allele=out_allele, read_names=names, marker=mark)
+
+
+def _build_sv_markers(rec_span: list[tuple[int, int]],
+                      rec_events: list[tuple],
+                      dense_ivals: list[tuple[int, int]],
+                      cfg: PhasingConfig) -> list[tuple[int, list]]:
+    """Het SV columns for the MEC phaser: [(pos, [(read_idx, allele)])].
+
+    Two marker classes, both invisible to longshot (it models SNVs only):
+
+    * indel markers — ≥ marker_min_len read-CIGAR indels clustered by
+      (type, shift ≤ marker_max_shift, size-sim ≥ 0.5); carrier reads hold
+      the alt allele, clean spanning reads the ref allele.
+    * soup markers — a dense-mismatch interval (het inversion alignment
+      soup, the same intervals the SNP dense filter masks) separates reads
+      by small-indel event count inside it.
+
+    A marker must look het (carrier fraction in [min_frac, max_frac], ≥
+    min_carriers and ≥ min_refs) — hom SVs separate nothing and would just
+    burn a column.  Reads phased by these columns partition correctly
+    around het SVs in het-SNP deserts, which is what keeps the het allele
+    alive through assembly consensus."""
+    n = len(rec_span)
+    if n == 0:
+        return []
+    starts = np.array([s for s, _ in rec_span], np.int64)
+    ends = np.array([e for _, e in rec_span], np.int64)
+    out: list[tuple[int, list]] = []
+
+    def in_dense(p: int) -> bool:
+        return any(a <= p <= b for a, b in dense_ivals)
+
+    # per-read large-event position lists for the 'clean read' test
+    big_pos: list[np.ndarray] = []
+    for ep, el, _ed, _mm in rec_events:
+        big_pos.append(ep[el >= cfg.marker_min_len])
+
+    def is_clean_at(r: int, pos: int) -> bool:
+        """A ref observation needs a CLEAN alignment at the locus: no big
+        event nearby AND ≤1 small event within ±50bp.  A carrier whose
+        alignment hid the event as soup/shifted ops otherwise lands on the
+        ref side and poisons the MEC column (a false 'two sub-haplotypes'
+        signal — the round-4 regression where markers at nested DELs split
+        one haplotype in half)."""
+        if len(big_pos[r]) and \
+                (np.abs(big_pos[r] - pos) <= 300).any():
+            # representation lottery: the same event can surface hundreds
+            # of bp away in another read's alignment — wide exclusion
+            return False
+        ep = rec_events[r][0]
+        return int(np.count_nonzero(np.abs(ep - pos) <= 50)) <= 1
+
+    ev = []
+    for ridx, (ep, el, ed, _mm) in enumerate(rec_events):
+        big = el >= cfg.marker_min_len
+        for p, l, d in zip(ep[big], el[big], ed[big]):
+            ev.append((int(d), int(p), int(l), ridx))
+    ev.sort()
+    used = np.zeros(len(ev), bool)
+    for i in range(len(ev)):
+        if used[i]:
+            continue
+        d0, p0, l0, r0 = ev[i]
+        used[i] = True
+        members = [(p0, l0, r0)]
+        for j in range(i + 1, len(ev)):
+            dj, pj, lj, rj = ev[j]
+            if dj != d0 or pj - p0 > cfg.marker_max_shift:
+                break
+            if used[j]:
+                continue
+            if min(lj, l0) / max(lj, l0) >= 0.5:
+                members.append((pj, lj, rj))
+                used[j] = True
+        pos = int(np.median([p for p, _l, _r in members]))
+        if in_dense(pos):
+            # inside an inversion-soup interval carrier alignments are
+            # unreliable either way — the soup marker owns this region
+            continue
+        carriers = {r for _p, _l, r in members}
+        span = np.nonzero((starts <= pos - 50) & (ends >= pos + 50))[0]
+        refs = [int(r) for r in span
+                if r not in carriers and is_clean_at(int(r), pos)]
+        nc, nr = len(carriers), len(refs)
+        frac = nc / max(nc + nr, 1)
+        if (nc >= cfg.marker_min_carriers and nr >= cfg.marker_min_refs
+                and cfg.marker_min_frac <= frac <= cfg.marker_max_frac):
+            out.append((pos, [(int(r), -1) for r in sorted(carriers)]
+                        + [(r, 1) for r in refs]))
+
+    for a, b in dense_ivals:
+        if b - a < 50:
+            continue
+        # PARTIAL overlaps count too: a read ending inside the soup is
+        # still allele-informative over its overlapped stretch, and those
+        # are exactly the reads that otherwise stay unphased (double-
+        # assigned) and contaminate the assembly bins around a het SV
+        ov_arr = np.minimum(ends, b) - np.maximum(starts, a)
+        need = min(150, b - a)           # small soup → spanning reads only
+        cand_r = np.nonzero(ov_arr >= need)[0]
+        obs = []
+        nc = nr = 0
+        for r in cand_r:
+            r = int(r)
+            lo, hi = max(int(starts[r]), a), min(int(ends[r]), b)
+            ov = hi - lo
+            ep, _el, _ed, mm = rec_events[r]
+            # soup = small indels AND mismatches (a short inversion shows
+            # mostly mismatch columns)
+            cnt = int(np.count_nonzero((ep >= lo) & (ep <= hi))) \
+                + int(np.count_nonzero((mm >= lo) & (mm <= hi)))
+            if cnt >= max(cfg.marker_soup_events, int(0.05 * ov)):
+                obs.append((r, -1))
+                nc += 1
+            elif cnt <= max(1, int(0.01 * ov)) and ov >= min(200, b - a):
+                obs.append((r, 1))
+                nr += 1
+        frac = nc / max(nc + nr, 1)
+        if (nc >= cfg.marker_min_carriers and nr >= cfg.marker_min_refs
+                and cfg.marker_min_frac <= frac <= cfg.marker_max_frac):
+            out.append(((a + b) // 2, obs))
+    return out

@@ -23,6 +23,8 @@ def snp_vcf_records(chrom: str, ph: PhaseResult) -> list[VcfRecord]:
     ref_b = decode_codes(np.asarray(ph.ref_base)) if len(ph.snp_pos) else ""
     alt_b = decode_codes(np.asarray(ph.alt_base)) if len(ph.snp_pos) else ""
     for i in range(len(ph.snp_pos)):
+        if ph.marker is not None and len(ph.marker) and ph.marker[i]:
+            continue          # SV phasing marker — not a SNP (pileup.py)
         gt = "0|1" if ph.phase[i] > 0 else "1|0"
         recs.append(VcfRecord(
             chrom=chrom, pos=int(ph.snp_pos[i]) + 1,

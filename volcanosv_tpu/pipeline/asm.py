@@ -81,12 +81,18 @@ def assemble_chromosome(
                                    cfg.partition)
 
     groups: dict[str, list[str]] = {}
+    weights: dict[str, list[float]] = {}
     for rname, haps in part.assignment.items():
         seq = read_seqs.get(rname)
         if not seq:
             continue
+        # phase-confidence vote weight: a double-assigned read may belong
+        # to the OTHER haplotype — it still provides layout connectivity
+        # but must not outvote phased reads at a het variant
+        w = 1.0 if len(haps) == 1 else 0.25
         for h in haps:
             groups.setdefault(h, []).append(seq)
+            weights.setdefault(h, []).append(w)
 
     from ..assembly import run_assembly
     with stage_timer("assembly", log):
@@ -104,9 +110,10 @@ def assemble_chromosome(
             in_cfg = dataclasses.replace(
                 cfg.assembly, dedup_reads=True,
                 consensus_rounds=cfg.assembly.consensus_rounds + 1)
-            c1, f1 = run_assembly(in_groups, in_cfg)
-            c2, f2 = run_assembly(out_groups, cfg.assembly)
+            c1, f1 = run_assembly(in_groups, in_cfg, weights=weights)
+            c2, f2 = run_assembly(out_groups, cfg.assembly, weights=weights)
             contigs, failed = {**c1, **c2}, f1 + f2
         else:
-            contigs, failed = run_assembly(groups, cfg.assembly)
+            contigs, failed = run_assembly(groups, cfg.assembly,
+                                           weights=weights)
     return contigs, ph, part

@@ -117,8 +117,19 @@ def segment_candidates(records_by_chrom: dict[str, list[BamRecord]],
         # (dir1, dir2, chr1, pos1, chr2, pos2)  (SVIM_inter.py:293-321).
         # Junction analysis ignores tiny segments (dup-copy re-alignments
         # interleaving the chain fabricate junctions, cfg.min_segment_len)
+        # AND segments query-CONTAINED in a longer segment (an inversion
+        # supplementary lives inside its parent's span — pairing it with
+        # the next chain link fabricates a junction at the inversion)
+        def contained(s: _Segment) -> bool:
+            ln = s.qo_end - s.qo_start
+            return any(o is not s
+                       and min(s.qo_end, o.qo_end)
+                       - max(s.qo_start, o.qo_start) >= 0.8 * ln
+                       and (o.qo_end - o.qo_start) > ln
+                       for o in segs)
         segs_j = [s for s in segs
-                  if s.qo_end - s.qo_start >= cfg.min_segment_len]
+                  if s.qo_end - s.qo_start >= cfg.min_segment_len
+                  and not contained(s)]
         juncs: list[tuple[str, str, str, int, str, int]] = []
         for a, b in zip(segs_j, segs_j[1:]):
             q_gap = b.qo_start - a.qo_end
@@ -449,6 +460,62 @@ def _merge_candidates_by_span(cands: list[Candidate], dist: int
     return groups
 
 
+def inv_read_genotype(chrom_reads: list[BamRecord], pos: int, end: int
+                      ) -> tuple[int, int]:
+    """(carrier, clean) read counts over the INV span.
+
+    A carrier read crosses the inversion as mismatch/small-indel soup or
+    with an opposite-strand supplementary; a clean read matches the
+    reference through it.  Zygosity from the carrier fraction is robust to
+    assembly-bin noise — a design improvement over svim-asm, which
+    genotypes from contig cluster sizes alone (SVIM_COMBINE.py:165+) and
+    inherits every consensus artifact."""
+    span = max(end - pos, 1)
+    need = min(150, span)
+    _M_, _I_, _D_ = 0, 1, 2
+    prim_strand: dict[str, bool] = {}
+    for r in chrom_reads:
+        if not (r.is_unmapped or r.is_secondary or r.is_supplementary):
+            prim_strand[r.name] = r.is_reverse
+    by_name: dict[str, list[int]] = {}   # name -> [carrier?, clean?]
+    for r in chrom_reads:
+        if r.is_unmapped or r.is_secondary:
+            continue
+        lo, hi = max(r.pos, pos), min(r.reference_end, end)
+        if hi - lo < need:
+            continue
+        ov = hi - lo
+        e = by_name.setdefault(r.name, [0, 0])
+        if r.is_supplementary:
+            # an OPPOSITE-strand supplementary over the span = carrier
+            # (the rescued/split inverted segment)
+            if r.name in prim_strand \
+                    and r.is_reverse != prim_strand[r.name]:
+                e[0] = 1
+            continue
+        # small-indel soup count within the overlap
+        cnt = 0
+        rp = r.pos
+        for op, ln in np.asarray(r.cigar):
+            op, ln = int(op), int(ln)
+            if op in (_M_, 7, 8):
+                rp += ln
+            elif op == _D_:
+                if ln <= 15 and lo <= rp <= hi:
+                    cnt += 1
+                rp += ln
+            elif op == _I_:
+                if ln <= 15 and lo <= rp <= hi:
+                    cnt += 1
+        if cnt >= max(3, int(0.02 * ov)):
+            e[0] = 1
+        elif cnt <= max(1, int(0.005 * ov)) and ov >= min(200, span):
+            e[1] = 1
+    nc = sum(1 for c, _cl in by_name.values() if c)
+    nr = sum(1 for c, cl in by_name.values() if cl and not c)
+    return nc, nr
+
+
 def inv_read_support(chrom_reads: list[BamRecord], pos: int, end: int,
                      flank: int) -> int:
     """Reads aligned in BOTH orientations near each breakend
@@ -520,19 +587,40 @@ def call_inversions(cands: list[Candidate], cfg: ComplexSVConfig,
     for g in groups:
         haps = set().union(*(h for _, h in g))
         best = max((r for r, _ in g), key=lambda c: c.svlen)
+        gt = _gt_of(haps)
         if reads_by_chrom is not None:
             support = inv_read_support(
                 reads_by_chrom.get(best.chrom, []), best.pos, best.end,
                 cfg.inv_support_flank)
             if support < cfg.inv_min_support:
                 continue
+            # zygosity from the read carrier fraction (robust to
+            # assembly-bin noise; see inv_read_genotype).  Phase
+            # orientation keeps the contig hap when the zygosity agrees,
+            # else falls back to the majority-candidate hap.
+            nc, nr = inv_read_genotype(reads_by_chrom.get(best.chrom, []),
+                                       best.pos, best.end)
+            if nc + nr >= 6:
+                frac = nc / (nc + nr)
+                if frac >= 0.75:
+                    gt = "1|1"
+                elif frac >= 0.2:
+                    cnt = {1: 0, 2: 0}
+                    for c in (c for cl in g for c in [cl[0]]):
+                        cnt[c.hap] += 1
+                    if haps == {1}:
+                        gt = "1|0"
+                    elif haps == {2}:
+                        gt = "0|1"
+                    else:
+                        gt = "1|0" if cnt[1] >= cnt[2] else "0|1"
         n += 1
         ref_base = ref_seqs.get(best.chrom, "N")[best.pos] \
             if best.pos < len(ref_seqs.get(best.chrom, "")) else "N"
         out.append(VcfRecord(
             chrom=best.chrom, pos=best.pos + 1,
             id=f"{best.chrom}-INV-{n}", ref=ref_base, alt="<INV>",
-            qual="30", gt=_gt_of(haps),
+            qual="30", gt=gt,
             info={"SVTYPE": "INV", "SVLEN": best.svlen,
                   "END": best.end, "READS": best.qname}))
     return out

@@ -157,13 +157,22 @@ def rel_coverage(records: list[VcfRecord], reads_sigs: list[Signature],
 
     rel_cov = (Σ svlen·n_reads of merged read sigs ≥30bp within ±flank of
     the call) / call svlen — calculate_signature_support.py's 'cov/svlen'
-    column (:361-366) with the min_size=30 floor (:44)."""
+    column (:361-366) with the min_size=30 floor (:44) — normalized per
+    carrier haplotype (÷2 for hom calls).  The reference bands raw rel_cov
+    (filter_vcf_by_sig_cov_insdel.py:38-55), which works at its 56-89×
+    envelope where hom/median ≈ 2 < rb_del; at lower coverage the median is
+    het-dominated and a true hom call in a high-depth spot lands at
+    2.6-2.9× median — outside the 2.605 band.  Per-carrier support keeps
+    the filter's anomaly-detection role (collapsed regions show 2×+ the
+    *normalized* median) without genotype-correlated drops."""
     idx = [i for i, r in enumerate(records) if r.svtype == svtype]
     if not idx:
         return idx, np.zeros(0, np.float32)
     sp, sl, sc = aggregate_read_sigs(reads_sigs, svtype, min_size=30)
     pos = np.array([records[i].pos for i in idx], np.int64)
     ln = np.array([records[i].svlen for i in idx], np.int64)
+    carriers = np.array([2.0 if records[i].gt in ("1/1", "1|1") else 1.0
+                         for i in idx])
     if len(sp) == 0:
         return idx, np.zeros(len(idx), np.float32)
     lo = np.searchsorted(sp, pos - cfg.flank, "left")
@@ -171,7 +180,7 @@ def rel_coverage(records: list[VcfRecord], reads_sigs: list[Signature],
     cov = np.array([
         float((sl[lo[i]:hi[i]] * sc[lo[i]:hi[i]]).sum())
         for i in range(len(idx))])
-    return idx, (cov / np.maximum(ln, 1)).astype(np.float32)
+    return idx, (cov / np.maximum(ln, 1) / carriers).astype(np.float32)
 
 
 def coverage_filter(records: list[VcfRecord],

@@ -188,8 +188,20 @@ def _extract_gt_read_sigs_task(
         for a, b in zip(group, group[1:]):
             out.extend(_split_sigs_reads(a, b, chrom, min_mapq, 30,
                                          scfg.max_sv_size))
-    out.sort(key=lambda s: s.pos)
-    return out
+    # the reference's `sort -u` reduce (sig_extract.py:637-638) drops
+    # duplicate (type, chrom, pos, len, read) rows — without it a read
+    # whose primary AND inverted-supplementary alignments both show an
+    # event double-counts, inflating n_ratio and flipping hets to hom
+    seen: set = set()
+    dedup: list[Signature] = []
+    for s in out:
+        key = (s.svtype, s.pos, s.svlen, s.qname)
+        if key in seen:
+            continue
+        seen.add(key)
+        dedup.append(s)
+    dedup.sort(key=lambda s: s.pos)
+    return dedup
 
 
 def support_counts(call_pos: np.ndarray, call_len: np.ndarray,

@@ -277,6 +277,26 @@ def extract_contig_signatures(
     records: alignments on `chrom`, coordinate-sorted; hp filter matches
     the reference's `hp in read.qname` substring test."""
     recs = [r for r in records if hp in r.name and not r.is_unmapped]
+    # per-contig inverted spans (minority-strand segments): the majority-
+    # strand alignment crosses an inversion as soup whose indel fragments
+    # are coordinate garbage — its cigar signatures inside the span are
+    # dropped; the inverted segment's own cigar (correct coordinates,
+    # e.g. a nested interior DEL) is kept
+    strand_len: dict[str, dict[int, int]] = {}
+    for r in recs:
+        d = strand_len.setdefault(r.name, {1: 0, -1: 0})
+        d[-1 if r.is_reverse else 1] += max(r.reference_length(), 0)
+    inv_spans: dict[str, list[tuple[int, int]]] = {}
+    for r in recs:
+        d = strand_len[r.name]
+        dom = 1 if d[1] >= d[-1] else -1
+        if (-1 if r.is_reverse else 1) != dom:
+            inv_spans.setdefault(r.name, []).append(
+                (r.pos - 10, r.reference_end + 10))
+
+    def _in_inv(name: str, pos: int) -> bool:
+        return any(a <= pos <= b for a, b in inv_spans.get(name, []))
+
     dels_c, inss_c = [], []
     for r in recs:
         if r.mapq >= cfg.min_mapq:
@@ -284,6 +304,10 @@ def extract_contig_signatures(
                     and _is_noisy_contig(np.asarray(r.cigar), cfg):
                 continue
             d, i = cigar_sigs(r, chrom, cfg)
+            dom = 1 if strand_len[r.name][1] >= strand_len[r.name][-1] else -1
+            if (-1 if r.is_reverse else 1) == dom and r.name in inv_spans:
+                d = [s for s in d if not _in_inv(r.name, s.pos)]
+                i = [s for s in i if not _in_inv(r.name, s.pos)]
             dels_c.extend(d)
             inss_c.extend(i)
 

@@ -149,10 +149,38 @@ def extract_hap_variants(records: list[BamRecord], ref_seq: str, hap: str,
     recs = [r for r in records
             if hap in r.name and not r.is_unmapped
             and not r.is_secondary and r.mapq >= cfg.min_mapq]
+    # inversion spans: a contig's minority-strand segments mark inverted
+    # regions — the majority-strand alignment crosses them as mismatch/
+    # small-indel soup whose 'variants' are artifacts of linear alignment
+    # against inverted sequence, not real small indels (the htsbox pileup
+    # has the same blindspot; svim-asm owns INV calling,
+    # SVIM_inter.py:62-340).  Calls inside these spans are dropped.
+    strand_len: dict[str, dict[int, int]] = {}
+    for r in recs:
+        d = strand_len.setdefault(r.name, {1: 0, -1: 0})
+        d[-1 if r.is_reverse else 1] += max(r.reference_end - r.pos, 0)
+    inv_spans: list[tuple[int, int]] = []
+    for r in recs:
+        d = strand_len[r.name]
+        dom = 1 if d[1] >= d[-1] else -1
+        if (-1 if r.is_reverse else 1) != dom:
+            inv_spans.append((r.pos - 10, r.reference_end + 10))
+
+    def in_inv(pos: int) -> bool:
+        return any(a <= pos <= b for a, b in inv_spans)
+
     for rec in recs:
+        if rec.is_supplementary and strand_len[rec.name] and in_inv(rec.pos):
+            # the minority-strand segment itself: its variants live in
+            # inverted coordinates; skip (and don't count coverage twice)
+            d = strand_len[rec.name]
+            if (-1 if rec.is_reverse else 1) != (1 if d[1] >= d[-1] else -1):
+                continue
         cov[rec.pos] += 1
         cov[min(rec.reference_end, L)] -= 1
         for v in _variants_from_alignment(rec, ref_seq, cfg):
+            if inv_spans and in_inv(v.pos):
+                continue
             d = support.setdefault((v.pos, _kind(v)), {})
             e = d.get((v.ref, v.alt))
             if e is None:
