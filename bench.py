@@ -161,6 +161,10 @@ def bench_reads_aligned():
 
 
 def main() -> None:
+    # persistent compile cache (same knob the CLI production path sets) —
+    # cold-start compiles otherwise dominate the first bench run
+    from volcanosv_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
     detail: dict = {}
 
     gcups_s, cells_s, kernel, W = bench_dp(with_traceback=False)

@@ -121,7 +121,7 @@ def test_snp_and_indel_coexist_at_anchor():
                                    np.int64),
                     seq=contig)
     cfg = SmallIndelConfig()
-    by_key, cov = extract_hap_variants([rec], ref, "hp1", cfg)
+    by_key, cov, _ties = extract_hap_variants([rec], ref, "hp1", cfg)
     kinds = {k[1] for k in by_key if k[0] == p}
     assert kinds == {"S", "I"}, sorted(by_key)
 
@@ -146,11 +146,12 @@ def test_disagreeing_contigs_resolve_jointly():
     rec_ref = BamRecord(name="PS1_hp1_1", pos=0, mapq=60,
                         cigar=np.array([[M, 300]], np.int64), seq=ref)
     cfg = SmallIndelConfig()
-    by_key, _ = extract_hap_variants([rec_var, rec_ref], ref, "hp1", cfg)
+    by_key, _, ties = extract_hap_variants([rec_var, rec_ref], ref, "hp1", cfg)
     assert (p, "S") not in by_key          # 1 of 2 contigs → ambiguous
+    assert (p, "S") not in ties            # SNP ties are never arbitrated
 
     rec_var2 = BamRecord(name="PS1_hp1_2", pos=0, mapq=60,
                          cigar=np.array([[M, 300]], np.int64), seq=with_snp)
-    by_key, _ = extract_hap_variants([rec_var, rec_var2, rec_ref], ref,
-                                     "hp1", cfg)
+    by_key, _, _t = extract_hap_variants([rec_var, rec_var2, rec_ref], ref,
+                                         "hp1", cfg)
     assert (p, "S") in by_key              # 2 of 3 contigs → majority wins

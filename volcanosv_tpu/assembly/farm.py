@@ -108,19 +108,52 @@ def run_assembly(groups: dict[str, list[str]], cfg: AssemblyConfig,
                 rounds=cfg.consensus_rounds,
                 weights_by_group=weights_by_gi)
         # drop leak-artifact fragment drafts: a draft of a multi-draft,
-        # polished group attracting fewer than min_draft_reads primary
-        # reads is built from stray double-assigned reads of the OTHER
-        # haplotype (it only wins reads that carry its private variant)
+        # polished group attracting less than min_draft_reads of WEIGHTED
+        # primary votes (double-assigned reads count 0.25) is built from
+        # stray reads of the OTHER haplotype
         for gi, ds in list(drafts_by_gi.items()):
             v = votes.get(gi) or []
             if len(ds) < 2 or len(v) != len(ds):
                 continue
             kept = [(d, n) for d, n in zip(ds, v)
-                    if n >= cfg.min_draft_reads]
+                    if n[0] >= cfg.min_draft_reads]
             if kept and len(kept) < len(ds):
                 log.info("dropped %d low-evidence draft(s) in %s",
                          len(ds) - len(kept), names[gi])
                 drafts_by_gi[gi] = [d for d, _ in kept]
+                votes[gi] = [n for _, n in kept]
+        # containment dedup: a draft CONTAINED in a longer draft of the
+        # same group AND supported mostly by double-assigned reads
+        # (weighted << raw votes) is an other-haplotype leak duplicating a
+        # covered span.  A contained fragment of PHASED reads is the
+        # opposite — the true local allele the layout walked around — and
+        # must stay; coverage-gap fragments don't overlap at all.
+        for gi, ds in list(drafts_by_gi.items()):
+            if len(ds) < 2:
+                continue
+            v = votes.get(gi)
+            if not v or len(v) != len(ds):
+                continue
+            ovs = _find_overlaps(ds, cfg, AlignConfig.preset("ava"))
+            drop = [False] * len(ds)
+
+            def ambiguous(i: int) -> bool:
+                w, raw = v[i]
+                return raw > 0 and w < 0.5 * raw
+
+            for ov in ovs:
+                la, lb = len(ds[ov.a]), len(ds[ov.b])
+                if (ov.a_end - ov.a_start) >= 0.8 * la and lb > la \
+                        and v[ov.b][0] >= v[ov.a][0] and ambiguous(ov.a):
+                    drop[ov.a] = True
+                if (ov.b_end - ov.b_start) >= 0.8 * lb and la > lb \
+                        and v[ov.a][0] >= v[ov.b][0] and ambiguous(ov.b):
+                    drop[ov.b] = True
+            if any(drop) and not all(drop):
+                log.info("dropped %d contained leak draft(s) in %s",
+                         sum(drop), names[gi])
+                drafts_by_gi[gi] = [d for d, x in zip(ds, drop) if not x]
+                votes[gi] = [n for n, x in zip(v, drop) if not x]
 
     contigs: dict[str, str] = {}
     for gi, name in enumerate(names):

@@ -674,9 +674,11 @@ def polish_grouped(drafts_by_group: dict[int, list[str]],
     votes only on drafts of its own group: cross-group (cross-haplotype)
     best-hits are dropped so the earlier partition decision stands.
 
-    Returns (polished drafts, per-draft primary read-vote counts from the
-    last round — the farm's evidence for dropping leak-artifact fragment
-    drafts; unpolished groups get empty vote lists)."""
+    Returns (polished drafts, per-draft (weighted, raw) primary read-vote
+    counts from the last round — the farm's evidence for dropping
+    leak-artifact fragment drafts; unpolished groups get empty vote
+    lists).  Weighted votes discount double-assigned reads (weights_by_
+    group), so weighted << raw marks a draft built from ambiguous reads."""
     from ..aligner import Aligner
     live = {gi for gi, ds in drafts_by_group.items()
             if ds and len(reads_by_group.get(gi, [])) >= 3}
@@ -718,9 +720,9 @@ def polish_grouped(drafts_by_group: dict[int, list[str]],
                 nd = _consensus_poa(d, rs, weight_of=_w_of) if rs else d
                 changed = changed or nd != d
                 new_list.append(nd)
-                vlist.append(sum(1 for r in (rs or [])
-                                 if not r.is_supplementary
-                                 and not r.is_secondary))
+                prim = [r for r in (rs or [])
+                        if not r.is_supplementary and not r.is_secondary]
+                vlist.append((sum(_w_of(r.name) for r in prim), len(prim)))
             drafts[gi] = new_list
             votes[gi] = vlist
         if not changed:

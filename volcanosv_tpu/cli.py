@@ -162,6 +162,15 @@ def cmd_sim(args) -> int:
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
     ref = sim.random_genome(rng, args.length, n_chroms=args.chroms)
+    if getattr(args, "n_tandem", 0) or getattr(args, "n_segdup", 0) \
+            or getattr(args, "n_homopoly", 0):
+        ref, feats = sim.implant_repeats(
+            rng, ref, n_tandem=args.n_tandem, n_segdup=args.n_segdup,
+            n_homopoly=args.n_homopoly)
+        from .io.bed import write_bed
+        write_bed(os.path.join(args.out_dir, "repeats.bed"),
+                  [(c, s, e, kind) for c, fs in feats.items()
+                   for kind, s, e in fs])
     hap1, hap2, truth = sim.implant_svs(
         rng, ref, n_del=args.n_del, n_ins=args.n_ins, n_inv=args.n_inv,
         n_dup=args.n_dup, min_len=args.min_len, max_len=args.max_len,
@@ -306,10 +315,14 @@ def _run_asm(ref, read_seqs, args, reads_by_chrom=None):
         ckpt.save_fasta(f"asm_{chrom}.fa", ctgs)
         ckpt.save_vcf(f"snps_{chrom}.vcf", snps)
         results[chrom] = (ctgs, snps)
+        hp_of = {n: (int(ph.read_hap[i]), int(ph.read_block[i]))
+                 for i, n in enumerate(ph.read_names)
+                 if ph.read_hap[i] != 0}
+        # read_hp_og.p-equivalent artifact (prepare_info_v1.py:79-85) —
+        # also drives the phase-aware GT downgrade at vc time
+        ckpt.save_read_hp(f"read_hp_{chrom}.tsv",
+                          {n: h for n, (h, _b) in hp_of.items()})
         if phased_writer is not None:
-            hp_of = {n: (int(ph.read_hap[i]), int(ph.read_block[i]))
-                     for i, n in enumerate(ph.read_names)
-                     if ph.read_hap[i] != 0}
             for r in recs:
                 hp = hp_of.get(r.name)
                 if hp is not None:
@@ -322,6 +335,7 @@ def _run_asm(ref, read_seqs, args, reads_by_chrom=None):
     mp.barrier("asm-exchange")
     contigs: dict[str, str] = {}
     snp_records = []
+    read_hp_by_chrom: dict[str, dict[str, int]] = {}
     for chrom in chroms:
         if chrom in results:
             ctgs, snps = results[chrom]
@@ -331,12 +345,15 @@ def _run_asm(ref, read_seqs, args, reads_by_chrom=None):
             snps = ckpt.load_vcf(f"snps_{chrom}.vcf")
         else:
             continue
+        if os.path.exists(ckpt.path(f"read_hp_{chrom}.tsv")):
+            read_hp_by_chrom[chrom] = ckpt.load_read_hp(
+                f"read_hp_{chrom}.tsv")
         snp_records += snps
         for name, seq in ctgs.items():
             while name in contigs:            # cross-chrom PS id collision
                 name += "b"
             contigs[name] = seq
-    return contigs, snp_records
+    return contigs, snp_records, read_hp_by_chrom
 
 
 def _align_reads_to_contigs(contigs: dict[str, str],
@@ -355,7 +372,7 @@ def cmd_asm(args) -> int:
     if not read_seqs:
         log.error("asm requires --fastq or --bam")
         return 2
-    contigs, snp_records = _run_asm(ref, read_seqs, args)
+    contigs, snp_records, _read_hp = _run_asm(ref, read_seqs, args)
     _vcf_out(args.out_dir, "phased_snps.vcf", ref, snp_records)
     if getattr(args, "sd", False):
         # SD loop needs the read partition; approximate groups from contig
@@ -457,7 +474,8 @@ def _pipeline_mesh():
 
 
 def _call_large_indels(ref, by_chrom, contigs, cfg, reads_by_chrom,
-                       reads_sigs, chroms=None, include_bed=None):
+                       reads_sigs, chroms=None, include_bed=None,
+                       read_hp=None):
     """All-chromosome large-indel calling with the WGS-global coverage
     median computed as a genome-axis collective over the device mesh
     (parallel.wgs.wgs_global_median) — the reference's per-run median after
@@ -508,7 +526,8 @@ def _call_large_indels(ref, by_chrom, contigs, cfg, reads_by_chrom,
         recs, gt_sigs = raw[chrom]
         records += finalize_chromosome(
             recs, gt_sigs, (reads_by_chrom or {}).get(chrom), cfg,
-            cov_medians=medians or None)
+            cov_medians=medians or None,
+            read_hp=(read_hp or {}).get(chrom))
     return records
 
 
@@ -690,8 +709,8 @@ def cmd_run(args) -> int:
     # complex-SV WGS stage needs all chromosomes, so exchange want=all)
     reads_by_chrom = _align_by_chrom_sharded(
         ref, read_seqs, _read_preset(args.dtype), args.out_dir, "reads_run")
-    contigs, snp_records = _run_asm(ref, read_seqs, args,
-                                    reads_by_chrom=reads_by_chrom)
+    contigs, snp_records, read_hp_by_chrom = _run_asm(
+        ref, read_seqs, args, reads_by_chrom=reads_by_chrom)
     if mp.is_rank0():
         write_fasta(os.path.join(args.out_dir, "final_contigs.fa"), contigs)
         _vcf_out(args.out_dir, "phased_snps.vcf", ref, snp_records)
@@ -701,7 +720,8 @@ def cmd_run(args) -> int:
     reads_sigs = _reads_sigs_cached(args, ref, cfg, reads_by_chrom,
                                     chroms=own)
     large_own = _call_large_indels(ref, li_by_chrom, contigs, cfg,
-                                   reads_by_chrom, reads_sigs, chroms=own)
+                                   reads_by_chrom, reads_sigs, chroms=own,
+                                   read_hp=read_hp_by_chrom)
     # global finalized record set on every host (drives DUP recovery and
     # the consumed-INS dedup identically everywhere)
     large_by_chrom: dict[str, list] = {c: [] for c in ref}
@@ -826,6 +846,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="INVs with an interior deletion (nested), per chrom")
     p.add_argument("--n_small", type=int, default=0,
                    help="2-49bp indels (small-indel path truth), per chrom")
+    p.add_argument("--n_tandem", type=int, default=0,
+                   help="tandem repeat arrays in the REFERENCE, per chrom")
+    p.add_argument("--n_segdup", type=int, default=0,
+                   help="dispersed ~97%%-identity segdup pairs, per chrom")
+    p.add_argument("--n_homopoly", type=int, default=0,
+                   help="15-40bp homopolymer runs, per chrom")
     p.add_argument("--min_len", type=int, default=60)
     p.add_argument("--max_len", type=int, default=400)
     p.add_argument("--snp_rate", type=float, default=1 / 1500)

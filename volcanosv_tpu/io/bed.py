@@ -17,3 +17,10 @@ def read_bed(path: str) -> dict[str, list[tuple[int, int]]]:
     for v in out.values():
         v.sort()
     return out
+
+
+def write_bed(path: str, rows) -> None:
+    """rows: iterable of (chrom, start, end[, name...])."""
+    with open(path, "w") as fh:
+        for row in rows:
+            fh.write("\t".join(str(x) for x in row) + "\n")

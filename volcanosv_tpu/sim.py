@@ -46,6 +46,78 @@ def random_genome(rng: np.random.Generator, length: int,
     return out
 
 
+def implant_repeats(
+    rng: np.random.Generator,
+    ref: dict[str, str],
+    n_tandem: int = 0,
+    n_segdup: int = 0,
+    n_homopoly: int = 0,
+    tandem_unit: tuple[int, int] = (15, 120),
+    tandem_copies: tuple[int, int] = (4, 12),
+    segdup_len: tuple[int, int] = (3_000, 8_000),
+    segdup_ident: float = 0.97,
+    homopoly_len: tuple[int, int] = (15, 40),
+    margin: int = 3_000,
+) -> tuple[dict[str, str], dict[str, list[tuple[str, int, int]]]]:
+    """Repeat-rich reference features — the genome regimes the reference's
+    hardest machinery exists for (round-3 verdict item 6): tandem arrays
+    (cluster/merge stress), dispersed segdup pairs at ≥95% identity
+    (mis-mapping + assembly collapse → Flagger/SD-recovery territory,
+    Evaluate_Assembly.py:55-69), and homopolymer runs (indel-error
+    hotspots).  Length-preserving: each feature REPLACES its ref window so
+    downstream truth coordinates stay valid.
+
+    Returns (ref, features {chrom: [(kind, start, end)]})."""
+    feats: dict[str, list[tuple[str, int, int]]] = {c: [] for c in ref}
+    out = {}
+    for chrom, seq in ref.items():
+        arr = list(seq)
+        L = len(arr)
+        placed: list[tuple[int, int]] = []
+
+        def _spot(width: int) -> int | None:
+            for _ in range(2_000):
+                p = int(rng.integers(margin, L - margin - width))
+                if all(p + width + 500 <= s or p >= e + 500
+                       for s, e in placed):
+                    placed.append((p, p + width))
+                    return p
+            return None
+
+        for _ in range(n_tandem):
+            unit = int(rng.integers(*tandem_unit))
+            copies = int(rng.integers(*tandem_copies))
+            width = unit * copies
+            p = _spot(width)
+            if p is None:
+                continue
+            u = "".join(rng.choice(BASES, unit))
+            arr[p:p + width] = list((u * copies)[:width])
+            feats[chrom].append(("tandem", p, p + width))
+        for _ in range(n_segdup):
+            ln = int(rng.integers(*segdup_len))
+            src = _spot(ln)
+            dst = _spot(ln)
+            if src is None or dst is None:
+                continue
+            copy = list(arr[src:src + ln])
+            n_mut = rng.poisson((1 - segdup_ident) * ln)
+            for i in rng.integers(0, ln, n_mut):
+                copy[i] = str(rng.choice(BASES))
+            arr[dst:dst + ln] = copy
+            feats[chrom].append(("segdup_src", src, src + ln))
+            feats[chrom].append(("segdup_dst", dst, dst + ln))
+        for _ in range(n_homopoly):
+            ln = int(rng.integers(*homopoly_len))
+            p = _spot(ln)
+            if p is None:
+                continue
+            arr[p:p + ln] = [str(rng.choice(BASES))] * ln
+            feats[chrom].append(("homopoly", p, p + ln))
+        out[chrom] = "".join(arr)
+    return out, feats
+
+
 _COMP = str.maketrans("ACGT", "TGCA")
 
 

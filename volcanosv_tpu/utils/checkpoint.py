@@ -97,3 +97,20 @@ class CheckpointDir:
     def load_vcf(self, name: str) -> list[VcfRecord]:
         _h, recs = read_vcf(self.path(name))
         return recs
+
+    # read-haplotype map (read_hp_og.p equivalent, prepare_info_v1.py:79-85)
+    def save_read_hp(self, name: str, hp: dict[str, int]) -> None:
+        def w(p):
+            with open(p, "w") as fh:
+                for n, h in hp.items():
+                    fh.write(f"{n}\t{h}\n")
+        self._atomic(name, w)
+
+    def load_read_hp(self, name: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        with open(self.path(name)) as fh:
+            for line in fh:
+                f = line.rstrip("\n").split("\t")
+                if len(f) == 2:
+                    out[f[0]] = int(f[1])
+        return out

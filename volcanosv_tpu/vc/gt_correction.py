@@ -223,3 +223,63 @@ def coverage_filter(records: list[VcfRecord],
     if dropped:
         log.info("coverage filter dropped %d/%d calls", dropped, len(records))
     return [r for r, k in zip(records, keep) if k]
+
+
+def phase_aware_gt(records: list[VcfRecord],
+                   reads_sigs: list[Signature],
+                   read_hp: dict[str, int],
+                   cfg: GTCorrectionConfig,
+                   min_phased: int = 6,
+                   max_minor_frac: float = 0.15) -> list[VcfRecord]:
+    """Downgrade 1/1 calls whose phased carrier reads are one-sided.
+
+    The reference's GT correction thresholds (support/depth vs
+    para/GT_correction_para_*.txt) were tuned at its 56-89x envelope; at
+    lower or lopsided coverage a het's n_ratio can clear t_small_11 and a
+    bin-leak contig pair can assert 1/1.  But the engine KNOWS each read's
+    haplotype (the longshot-equivalent read_hp map the reference writes to
+    read_hp_og.p and never uses again, prepare_info_v1.py:79-85) — if ≥
+    min_phased phased reads carry the variant's signature and ≤
+    max_minor_frac of them are on the minor haplotype, the event is het on
+    the major haplotype, whatever the contigs said.  Balanced carriers
+    leave hom calls alone; only 1/1 → het downgrades happen here."""
+    if not records or not read_hp:
+        return records
+    by_type: dict[str, tuple] = {}
+    for svtype in ("DEL", "INS"):
+        rows = [(s.pos, s.svlen, s.qname) for s in reads_sigs
+                if s.svtype == svtype and s.svlen >= 30]
+        rows.sort()
+        by_type[svtype] = (np.array([r[0] for r in rows], np.int64),
+                          np.array([r[1] for r in rows], np.int64),
+                          [r[2] for r in rows])
+    n_flip = 0
+    for r in records:
+        if r.gt not in ("1/1", "1|1") or r.svtype not in by_type:
+            continue
+        sp, sl, names = by_type[r.svtype]
+        if not len(sp):
+            continue
+        L = r.svlen
+        shift = int(max(cfg.max_dist_ratio * L, cfg.min_shift_floor))
+        lo = int(np.searchsorted(sp, r.pos - shift, "left"))
+        hi = int(np.searchsorted(sp, r.pos + shift, "right"))
+        carriers = {names[i] for i in range(lo, hi)
+                    if sl[i] >= L * cfg.min_size_sim
+                    and sl[i] <= L / cfg.min_size_sim}
+        n1 = sum(1 for n in carriers if read_hp.get(n) == 1)
+        n2 = sum(1 for n in carriers if read_hp.get(n) == 2)
+        tot = n1 + n2
+        # the verdict is only trustworthy when PHASING actually covers the
+        # carriers: a hom call in a het-SNP desert has mostly-unphased
+        # carriers whose few phased ones come from one block edge — a fake
+        # one-sided signal
+        if tot < max(min_phased, 0.5 * len(carriers)):
+            continue
+        if min(n1, n2) <= max_minor_frac * tot:
+            r.gt = "1|0" if n1 >= n2 else "0|1"
+            n_flip += 1
+    if n_flip:
+        log.info("phase-aware GT: downgraded %d one-sided hom calls",
+                 n_flip)
+    return records

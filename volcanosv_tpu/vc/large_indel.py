@@ -199,11 +199,14 @@ def finalize_chromosome(
     reads_records: list[BamRecord] | None,
     cfg: PipelineConfig,
     cov_medians: dict[str, float] | None = None,
+    read_hp: dict[str, int] | None = None,
 ) -> list[VcfRecord]:
     """The filter_GT_correction.py chain + phasing for one chromosome's raw
     records.  cov_medians carries the WGS-global per-svtype rel_cov median
     (filter_vcf_by_sig_cov_insdel.py:38-55 computes it over the
-    concatenated all-chromosome set) — see parallel.wgs.wgs_global_median."""
+    concatenated all-chromosome set) — see parallel.wgs.wgs_global_median.
+    read_hp (read name → haplotype 1|2, the longshot-equivalent HP map)
+    enables the phase-aware 1/1→het downgrade on one-sided carriers."""
     if gt_sigs is not None and reads_records is not None:
         records = coverage_filter(records, gt_sigs, cfg.cov_filter,
                                   medians=cov_medians)
@@ -218,6 +221,10 @@ def finalize_chromosome(
         re_ = np.array([r.reference_end for r in prim], np.int64)
         records = correct_genotypes(records, gt_sigs, rs, re_,
                                     cfg.gt_correction)
+        if read_hp:
+            from .gt_correction import phase_aware_gt
+            records = phase_aware_gt(records, gt_sigs, read_hp,
+                                     cfg.gt_correction)
     return phase_records(records)
 
 

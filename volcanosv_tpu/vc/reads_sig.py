@@ -17,6 +17,38 @@ from .signatures import Signature, _read_span, cigar_sigs
 _S, _H = 4, 5
 
 
+def _drop_contained_segments(group: list[BamRecord]) -> list[BamRecord]:
+    """Remove segments query-contained (≥80%) in a longer segment of the
+    same read: an inversion-rescue supplementary lives INSIDE its parent's
+    query span, and pairing it with a distant chain segment fabricates a
+    multi-kb deletion signature (whose svlen mass then poisons the
+    coverage band-pass for every nearby call)."""
+    if len(group) < 2:
+        return group
+    spans = []
+    for r in group:
+        c = np.asarray(r.cigar)
+        if len(c) == 0:
+            spans.append((0, 0))
+            continue
+        s, e, rl = _read_span(c)
+        if r.is_reverse:
+            s, e = rl - e, rl - s
+        spans.append((s, e))
+    keep = []
+    for i, r in enumerate(group):
+        si, ei = spans[i]
+        li = ei - si
+        contained = any(
+            j != i
+            and min(ei, spans[j][1]) - max(si, spans[j][0]) >= 0.8 * li
+            and (spans[j][1] - spans[j][0]) > li
+            for j in range(len(group)))
+        if not contained:
+            keep.append(r)
+    return keep
+
+
 def _split_sigs_reads(rec1: BamRecord, rec2: BamRecord, chrom: str,
                       min_mapq: int, min_sv: int, max_sv: int):
     """ref extract_sig_from_split (extract_reads_signature.py:148-196):
@@ -73,6 +105,9 @@ def extract_reads_signatures(
             out.extend(i)
             by_name.setdefault(r.name, []).append(r)
     for name, group in by_name.items():
+        if len(group) < 2:
+            continue
+        group = _drop_contained_segments(group)
         if len(group) < 2:
             continue
         group.sort(key=lambda r: r.pos)
@@ -182,6 +217,9 @@ def _extract_gt_read_sigs_task(
         out.extend(merge_read_sigs(i, "INS", cfg.merge_ins_dis))
         by_name.setdefault(r.name, []).append(r)
     for name, group in by_name.items():
+        if len(group) < 2:
+            continue
+        group = _drop_contained_segments(group)
         if len(group) < 2:
             continue
         group.sort(key=lambda r: r.pos)

@@ -313,7 +313,10 @@ def extract_contig_signatures(
 
     # split pairs: adjacent segments per query in coordinate order; tiny
     # segments (dup-copy re-alignments) are excluded — pairing them
-    # fabricates junctions (cfg.min_split_segment)
+    # fabricates junctions (cfg.min_split_segment) — and so are segments
+    # query-CONTAINED in a longer one (inverted supplementaries live
+    # inside their parent's span; pairing two of them fabricates indels)
+    from .reads_sig import _drop_contained_segments
     by_name: dict[str, list[BamRecord]] = {}
     for r in recs:
         if r.mapq >= cfg.min_mapq \
@@ -321,6 +324,9 @@ def extract_contig_signatures(
             by_name.setdefault(r.name, []).append(r)
     dels_s, inss_s = [], []
     for name, group in by_name.items():
+        if len(group) < 2:
+            continue
+        group = _drop_contained_segments(group)
         if len(group) < 2:
             continue
         group.sort(key=lambda r: r.pos)

@@ -131,8 +131,10 @@ def _kind(v: HapVariant) -> str:
 
 def extract_hap_variants(records: list[BamRecord], ref_seq: str, hap: str,
                          cfg: SmallIndelConfig
-                         ) -> tuple[dict[VarKey, HapVariant], np.ndarray]:
-    """All variants of one haplotype + its ref-coverage mask.
+                         ) -> tuple[dict[VarKey, HapVariant], np.ndarray,
+                                    dict[VarKey, HapVariant]]:
+    """All variants of one haplotype + its ref-coverage mask + tie
+    candidates (50/50 contig splits for the caller's read arbitration).
 
     htsbox pileup column semantics (pileup.c:126-176): a column carries a
     base allele AND an indel allele independently, so variants key on
@@ -191,6 +193,7 @@ def extract_hap_variants(records: list[BamRecord], ref_seq: str, hap: str,
                     e[1] = v
     coverage = np.cumsum(cov[:-1])
     by_key: dict[VarKey, HapVariant] = {}
+    ties: dict[VarKey, HapVariant] = {}
     for key, alleles in support.items():
         n, v = max(alleles.values(),
                    key=lambda e: (e[0], e[1].mapq,
@@ -199,7 +202,11 @@ def extract_hap_variants(records: list[BamRecord], ref_seq: str, hap: str,
         n_cover = int(coverage[pos]) if 0 <= pos < L else n
         if 2 * n > n_cover:
             by_key[key] = v
-    return by_key, coverage > 0
+        elif 2 * n == n_cover and not v.is_snp:
+            # exact split between overlapping same-hap contigs (one lost
+            # the allele to consensus) — the caller resolves with reads
+            ties[key] = v
+    return by_key, coverage > 0, ties
 
 
 def pair_hap_variants(chrom: str,
@@ -360,8 +367,42 @@ def call_small_indels(
     """Full small-indel calling for one chromosome (driver parity:
     volcanosv-vc-small-indel.py main)."""
     sic = cfg.small_indel
-    h1, cov1 = extract_hap_variants(contig_records, ref_seq, "hp1", sic)
-    h2, cov2 = extract_hap_variants(contig_records, ref_seq, "hp2", sic)
+    h1, cov1, tie1 = extract_hap_variants(contig_records, ref_seq, "hp1", sic)
+    h2, cov2, tie2 = extract_hap_variants(contig_records, ref_seq, "hp2", sic)
+    if reads_records is not None and (tie1 or tie2):
+        # arbitrate 50/50 contig splits with read-level indel events: a
+        # real het indel has carrier reads; a consensus artifact does not
+        ev_p, ev_l, ev_d = [], [], []
+        for rec in reads_records:
+            if rec.is_unmapped or rec.is_secondary or rec.is_supplementary:
+                continue
+            cig = np.asarray(rec.cigar)
+            if len(cig) == 0:
+                continue
+            ops, lens = cig[:, 0], cig[:, 1].astype(np.int64)
+            cr = np.isin(ops, (_M, _D, _EQ, _X)) * lens
+            r0s = rec.pos + np.concatenate([[0], np.cumsum(cr)[:-1]])
+            ind = np.isin(ops, (_I, _D)) & (lens > 0)
+            ev_p.append(r0s[ind])
+            ev_l.append(lens[ind])
+            ev_d.append(ops[ind] == _D)
+        if ev_p:
+            ep = np.concatenate(ev_p)
+            el = np.concatenate(ev_l)
+            ed = np.concatenate(ev_d)
+            order = np.argsort(ep, kind="stable")
+            ep, el, ed = ep[order], el[order], ed[order]
+            for ties, h in ((tie1, h1), (tie2, h2)):
+                for key, v in ties.items():
+                    pos, kind = key
+                    sz = v.indel_size
+                    lo = int(np.searchsorted(ep, pos - 20))
+                    hi = int(np.searchsorted(ep, pos + 20, "right"))
+                    sl, sd = el[lo:hi], ed[lo:hi]
+                    ok = (sd == (kind == "D")) & \
+                         (np.minimum(sl, sz) / np.maximum(sl, sz) >= 0.5)
+                    if int(ok.sum()) >= 3:
+                        h[key] = v
     log.info("%s: %d hp1 variants, %d hp2 variants", chrom, len(h1), len(h2))
     records = pair_hap_variants(chrom, h1, h2, cov1, cov2)
     records = size_filter(records, sic, keep_snps=keep_snps)
