@@ -70,9 +70,9 @@ def test_golden_f1_and_gt(golden_run):
     sim_dir, out_dir = golden_run
     res = evaluate_files(os.path.join(sim_dir, "truth.vcf"),
                          os.path.join(out_dir, "volcanosv_variants.vcf"))
-    assert res.f1 >= 0.97, res.summary()
-    assert res.recall >= 0.97, res.summary()
-    assert res.gt_concordance >= 0.97, res.summary()
+    assert res.f1 >= 0.98, res.summary()
+    assert res.recall >= 0.98, res.summary()
+    assert res.gt_concordance >= 0.98, res.summary()
 
 
 def test_golden_small_indel(golden_run):
@@ -84,8 +84,8 @@ def test_golden_small_indel(golden_run):
         os.path.join(sim_dir, "truth.vcf"),
         os.path.join(out_dir, "volcanosv_small_indel.vcf"),
         EvalParams(minsize=2, maxsize=29, pctsim=0.0))
-    assert res.recall >= 0.90, res.summary()
-    assert res.precision >= 0.90, res.summary()
+    assert res.recall >= 0.93, res.summary()
+    assert res.precision >= 0.95, res.summary()
     assert res.gt_concordance >= 0.90, res.summary()
 
 

@@ -320,8 +320,7 @@ def _run_asm(ref, read_seqs, args, reads_by_chrom=None):
                  if ph.read_hap[i] != 0}
         # read_hp_og.p-equivalent artifact (prepare_info_v1.py:79-85) —
         # also drives the phase-aware GT downgrade at vc time
-        ckpt.save_read_hp(f"read_hp_{chrom}.tsv",
-                          {n: h for n, (h, _b) in hp_of.items()})
+        ckpt.save_read_hp(f"read_hp_{chrom}.tsv", hp_of)
         if phased_writer is not None:
             for r in recs:
                 hp = hp_of.get(r.name)
@@ -744,7 +743,8 @@ def cmd_run(args) -> int:
     for chrom in own:
         small += call_small_indels(chrom, si_by_chrom.get(chrom, []),
                                    ref[chrom], cfg,
-                                   reads_records=reads_by_chrom.get(chrom))
+                                   reads_records=reads_by_chrom.get(chrom),
+                                   read_hp=read_hp_by_chrom.get(chrom))
     p_small = _vcf_out_sharded(args.out_dir, "volcanosv_small_indel.vcf",
                                ref, small)
 

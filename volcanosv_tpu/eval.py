@@ -112,7 +112,11 @@ def evaluate(base: list[VcfRecord], comp: list[VcfRecord],
     excluded entirely, mirroring truvari's size filter."""
     def keep(r: VcfRecord) -> bool:
         if _svtype(r) == "BND":
-            return True              # breakends have no length; size-exempt
+            # breakends have no length: size-exempt in the unbounded
+            # (large-SV) mode, but excluded when a maxsize band is set —
+            # a small-indel bench must not count junction rows in its
+            # denominator (truvari size filters do the same)
+            return not params.maxsize
         s = r.svlen
         if s < params.minsize:
             return False

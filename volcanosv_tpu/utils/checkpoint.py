@@ -99,18 +99,21 @@ class CheckpointDir:
         return recs
 
     # read-haplotype map (read_hp_og.p equivalent, prepare_info_v1.py:79-85)
-    def save_read_hp(self, name: str, hp: dict[str, int]) -> None:
+    # rows: name<TAB>hp<TAB>phase-block — the block id matters because hap
+    # labels are only orientation-consistent WITHIN a block
+    def save_read_hp(self, name: str,
+                     hp: dict[str, tuple[int, int]]) -> None:
         def w(p):
             with open(p, "w") as fh:
-                for n, h in hp.items():
-                    fh.write(f"{n}\t{h}\n")
+                for n, (h, b) in hp.items():
+                    fh.write(f"{n}\t{h}\t{b}\n")
         self._atomic(name, w)
 
-    def load_read_hp(self, name: str) -> dict[str, int]:
-        out: dict[str, int] = {}
+    def load_read_hp(self, name: str) -> dict[str, tuple[int, int]]:
+        out: dict[str, tuple[int, int]] = {}
         with open(self.path(name)) as fh:
             for line in fh:
                 f = line.rstrip("\n").split("\t")
-                if len(f) == 2:
-                    out[f[0]] = int(f[1])
+                if len(f) == 3:
+                    out[f[0]] = (int(f[1]), int(f[2]))
         return out

@@ -227,35 +227,41 @@ def coverage_filter(records: list[VcfRecord],
 
 def phase_aware_gt(records: list[VcfRecord],
                    reads_sigs: list[Signature],
-                   read_hp: dict[str, int],
+                   read_hp: dict,
                    cfg: GTCorrectionConfig,
-                   min_phased: int = 6,
-                   max_minor_frac: float = 0.15) -> list[VcfRecord]:
-    """Downgrade 1/1 calls whose phased carrier reads are one-sided.
+                   read_names: list[str] | None = None,
+                   read_start: np.ndarray | None = None,
+                   read_end: np.ndarray | None = None) -> list[VcfRecord]:
+    """Read-evidence zygosity arbitration (a capability the reference
+    discards: it writes read_hp_og.p, prepare_info_v1.py:79-85, and never
+    uses phasing at vc time).
 
-    The reference's GT correction thresholds (support/depth vs
-    para/GT_correction_para_*.txt) were tuned at its 56-89x envelope; at
-    lower or lopsided coverage a het's n_ratio can clear t_small_11 and a
-    bin-leak contig pair can assert 1/1.  But the engine KNOWS each read's
-    haplotype (the longshot-equivalent read_hp map the reference writes to
-    read_hp_og.p and never uses again, prepare_info_v1.py:79-85) — if ≥
-    min_phased phased reads carry the variant's signature and ≤
-    max_minor_frac of them are on the minor haplotype, the event is het on
-    the major haplotype, whatever the contigs said.  Balanced carriers
-    leave hom calls alone; only 1/1 → het downgrades happen here."""
-    if not records or not read_hp:
+    Zygosity from carrier-vs-clean SPANNING reads — orientation-free and
+    robust to both assembly-bin leaks and per-locus phasing noise:
+    * a true hom event has (almost) no clean spanning reads;
+    * a het has roughly half clean — whatever the contig pairing said.
+    1/1 calls with enough clean spanning reads downgrade to het (phase
+    orientation from the majority carrier haplotype within its majority
+    phase block — labels are only orientation-consistent per block); het
+    calls with (almost) no clean spanning reads upgrade to 1/1."""
+    if not records or read_names is None or read_start is None \
+            or not len(read_start):
         return records
+    order = np.argsort(read_start, kind="stable")
+    rs, re_ = read_start[order], read_end[order]
+    names_sorted = [read_names[i] for i in order]
     by_type: dict[str, tuple] = {}
     for svtype in ("DEL", "INS"):
         rows = [(s.pos, s.svlen, s.qname) for s in reads_sigs
                 if s.svtype == svtype and s.svlen >= 30]
         rows.sort()
         by_type[svtype] = (np.array([r[0] for r in rows], np.int64),
-                          np.array([r[1] for r in rows], np.int64),
-                          [r[2] for r in rows])
-    n_flip = 0
+                           np.array([r[1] for r in rows], np.int64),
+                           [r[2] for r in rows])
+    n_down = n_up = 0
     for r in records:
-        if r.gt not in ("1/1", "1|1") or r.svtype not in by_type:
+        if r.svtype not in by_type \
+                or r.gt not in ("1/1", "1|1", "0/1", "1|0", "0|1"):
             continue
         sp, sl, names = by_type[r.svtype]
         if not len(sp):
@@ -267,19 +273,37 @@ def phase_aware_gt(records: list[VcfRecord],
         carriers = {names[i] for i in range(lo, hi)
                     if sl[i] >= L * cfg.min_size_sim
                     and sl[i] <= L / cfg.min_size_sim}
-        n1 = sum(1 for n in carriers if read_hp.get(n) == 1)
-        n2 = sum(1 for n in carriers if read_hp.get(n) == 2)
-        tot = n1 + n2
-        # the verdict is only trustworthy when PHASING actually covers the
-        # carriers: a hom call in a het-SNP desert has mostly-unphased
-        # carriers whose few phased ones come from one block edge — a fake
-        # one-sided signal
-        if tot < max(min_phased, 0.5 * len(carriers)):
-            continue
-        if min(n1, n2) <= max_minor_frac * tot:
-            r.gt = "1|0" if n1 >= n2 else "0|1"
-            n_flip += 1
-    if n_flip:
-        log.info("phase-aware GT: downgraded %d one-sided hom calls",
-                 n_flip)
+        # spanning reads (primary): cover the event plus a margin
+        if r.svtype == "DEL":
+            a, b = r.pos - 30, r.pos + L + 30
+        else:
+            a, b = r.pos - cfg.ins_flank, r.pos + cfg.ins_flank
+        k = int(np.searchsorted(rs, a, "left"))
+        span_names = {names_sorted[i] for i in range(k) if re_[i] > b}
+        if len(span_names) < 8:
+            continue                      # too thin to overrule anything
+        clean = span_names - carriers
+        n_clean = len(clean)
+        n_carr = len(span_names & carriers)
+        if r.gt in ("1/1", "1|1"):
+            if n_clean >= max(4, 0.25 * len(span_names)):
+                # het: orient by majority carrier hap in its majority block
+                blocks: dict[int, list[int]] = {}
+                for n in carriers:
+                    hb = read_hp.get(n) if read_hp else None
+                    if hb is None:
+                        continue
+                    h, bkt = hb if isinstance(hb, tuple) else (hb, 0)
+                    blocks.setdefault(bkt, []).append(h)
+                hs = max(blocks.values(), key=len) if blocks else [1]
+                n1 = sum(1 for h in hs if h == 1)
+                r.gt = "1|0" if n1 >= len(hs) - n1 else "0|1"
+                n_down += 1
+        else:
+            if n_carr >= 8 and n_clean <= max(1, 0.12 * len(span_names)):
+                r.gt = "1/1"
+                n_up += 1
+    if n_down or n_up:
+        log.info("read-evidence GT: %d hom->het downgrades, %d het->hom "
+                 "upgrades", n_down, n_up)
     return records

@@ -224,7 +224,9 @@ def finalize_chromosome(
         if read_hp:
             from .gt_correction import phase_aware_gt
             records = phase_aware_gt(records, gt_sigs, read_hp,
-                                     cfg.gt_correction)
+                                     cfg.gt_correction,
+                                     read_names=[r.name for r in prim],
+                                     read_start=rs, read_end=re_)
     return phase_records(records)
 
 

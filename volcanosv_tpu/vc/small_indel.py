@@ -363,16 +363,18 @@ def call_small_indels(
     cfg: PipelineConfig,
     reads_records: list[BamRecord] | None = None,
     keep_snps: bool = False,
+    read_hp: dict[str, int] | None = None,
 ) -> list[VcfRecord]:
     """Full small-indel calling for one chromosome (driver parity:
-    volcanosv-vc-small-indel.py main)."""
+    volcanosv-vc-small-indel.py main).  read_hp (read → haplotype) enables
+    phase-aware 1|1→het arbitration like the large path."""
     sic = cfg.small_indel
     h1, cov1, tie1 = extract_hap_variants(contig_records, ref_seq, "hp1", sic)
     h2, cov2, tie2 = extract_hap_variants(contig_records, ref_seq, "hp2", sic)
-    if reads_records is not None and (tie1 or tie2):
-        # arbitrate 50/50 contig splits with read-level indel events: a
-        # real het indel has carrier reads; a consensus artifact does not
-        ev_p, ev_l, ev_d = [], [], []
+    ep = el = ed = None
+    ev_names: list[str] = []
+    if reads_records is not None:
+        ev_p, ev_l, ev_d, ev_n = [], [], [], []
         for rec in reads_records:
             if rec.is_unmapped or rec.is_secondary or rec.is_supplementary:
                 continue
@@ -383,29 +385,74 @@ def call_small_indels(
             cr = np.isin(ops, (_M, _D, _EQ, _X)) * lens
             r0s = rec.pos + np.concatenate([[0], np.cumsum(cr)[:-1]])
             ind = np.isin(ops, (_I, _D)) & (lens > 0)
+            if not ind.any():
+                continue
             ev_p.append(r0s[ind])
             ev_l.append(lens[ind])
             ev_d.append(ops[ind] == _D)
+            ev_n.append(np.full(int(ind.sum()), len(ev_names), np.int64))
+            ev_names.append(rec.name)
         if ev_p:
             ep = np.concatenate(ev_p)
             el = np.concatenate(ev_l)
             ed = np.concatenate(ev_d)
+            en = np.concatenate(ev_n)
             order = np.argsort(ep, kind="stable")
-            ep, el, ed = ep[order], el[order], ed[order]
-            for ties, h in ((tie1, h1), (tie2, h2)):
-                for key, v in ties.items():
-                    pos, kind = key
-                    sz = v.indel_size
-                    lo = int(np.searchsorted(ep, pos - 20))
-                    hi = int(np.searchsorted(ep, pos + 20, "right"))
-                    sl, sd = el[lo:hi], ed[lo:hi]
-                    ok = (sd == (kind == "D")) & \
-                         (np.minimum(sl, sz) / np.maximum(sl, sz) >= 0.5)
-                    if int(ok.sum()) >= 3:
-                        h[key] = v
+            ep, el, ed, en = ep[order], el[order], ed[order], en[order]
+
+    def _event_window(pos: int, kind: str, sz: int):
+        lo = int(np.searchsorted(ep, pos - 20))
+        hi = int(np.searchsorted(ep, pos + 20, "right"))
+        sl, sd = el[lo:hi], ed[lo:hi]
+        ok = (sd == (kind == "D")) & \
+             (np.minimum(sl, sz) / np.maximum(sl, sz) >= 0.5)
+        return ok, lo
+
+    if ep is not None and (tie1 or tie2):
+        # arbitrate 50/50 contig splits with read-level indel events: a
+        # real het indel has carrier reads; a consensus artifact does not
+        for ties, h in ((tie1, h1), (tie2, h2)):
+            for key, v in ties.items():
+                ok, _lo = _event_window(key[0], key[1], v.indel_size)
+                if int(ok.sum()) >= 3:
+                    h[key] = v
     log.info("%s: %d hp1 variants, %d hp2 variants", chrom, len(h1), len(h2))
     records = pair_hap_variants(chrom, h1, h2, cov1, cov2)
     records = size_filter(records, sic, keep_snps=keep_snps)
     if reads_records is not None:
         records = kmer_support_filter(records, reads_records, sic)
+    if ep is not None and read_hp:
+        # phase-aware GT arbitration (mirrors vc.gt_correction.
+        # phase_aware_gt at small-indel scale): a 1|1 whose phased carrier
+        # reads sit on ONE haplotype is a bin-leak het
+        n_down = 0
+        for r in records:
+            if r.gt not in ("1|1", "1/1") or r.svtype not in ("INS", "DEL"):
+                continue
+            sz = abs(len(r.alt) - len(r.ref))
+            kind = "I" if len(r.alt) > len(r.ref) else "D"
+            ok, lo = _event_window(r.pos - 1, kind, sz)
+            carriers = {ev_names[int(en[lo + i])]
+                        for i in np.nonzero(ok)[0]}
+            blocks: dict[int, list[int]] = {}
+            for n in carriers:
+                hb = read_hp.get(n)
+                if hb is None:
+                    continue
+                h, b = hb if isinstance(hb, tuple) else (hb, 0)
+                blocks.setdefault(b, []).append(h)
+            if not blocks:
+                continue
+            hs = max(blocks.values(), key=len)
+            n1 = sum(1 for h in hs if h == 1)
+            n2 = sum(1 for h in hs if h == 2)
+            tot = n1 + n2
+            if tot < max(6, 0.5 * len(carriers)):
+                continue
+            if min(n1, n2) <= max(1, 0.06 * tot):
+                r.gt = "1|0" if n1 >= n2 else "0|1"
+                n_down += 1
+        if n_down:
+            log.info("%s: phase-aware small-indel GT downgraded %d",
+                     chrom, n_down)
     return phase_records(records)
