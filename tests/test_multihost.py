@@ -27,6 +27,8 @@ def test_two_process_group(tmp_path):
     # the 2-process vc-large-indel run (different chromosomes per host,
     # query-sharded alignment, rank-0 merge) equals single-process bytes
     assert res["pipeline_vcf_identical"] is True
+    assert res["small_vcf_identical"] is True
+    assert res["complex_vcf_identical"] is True
     assert res["pipeline_vcf_records"] > 0
     assert {row["pid"] for row in res["rows"]} == {0, 1}
     for row in res["rows"]:

@@ -50,6 +50,16 @@ def _sim_and_reference_run(work: str, full: bool = False) -> None:
                  "--contig", f"{sim_dir}/true_contigs.fa",
                  "--fastq", f"{sim_dir}/reads.fastq",
                  "-o", os.path.join(work, "single")]) == 0
+    assert main(["vc-small-indel", "--ref", f"{sim_dir}/ref.fa",
+                 "--contig", f"{sim_dir}/true_contigs.fa",
+                 "--fastq", f"{sim_dir}/reads.fastq",
+                 "-o", os.path.join(work, "single_small")]) == 0
+    assert main(["vc-complex-sv", "--ref", f"{sim_dir}/ref.fa",
+                 "--contig", f"{sim_dir}/true_contigs.fa",
+                 "--fastq", f"{sim_dir}/reads.fastq",
+                 "--large_vcf",
+                 os.path.join(work, "single", "volcanosv_large_indel.vcf"),
+                 "-o", os.path.join(work, "single_cx")]) == 0
     if full:
         assert main(["run", "--ref", f"{sim_dir}/ref.fa",
                      "--fastq", f"{sim_dir}/reads.fastq",
@@ -119,6 +129,18 @@ def worker(pid: int, n: int, devs_per_proc: int, work: str,
                "-o", os.path.join(work, "multi")])
     pipeline_s = time.perf_counter() - t0
     assert rc == 0
+    # the standalone small/complex drivers across the SAME process group
+    # (round-3 verdict item 7): each host calls its shard, rank 0 merges
+    assert main(["vc-small-indel", "--ref", f"{sim_dir}/ref.fa",
+                 "--contig", f"{sim_dir}/true_contigs.fa",
+                 "--fastq", f"{sim_dir}/reads.fastq",
+                 "-o", os.path.join(work, "multi_small")]) == 0
+    assert main(["vc-complex-sv", "--ref", f"{sim_dir}/ref.fa",
+                 "--contig", f"{sim_dir}/true_contigs.fa",
+                 "--fastq", f"{sim_dir}/reads.fastq",
+                 "--large_vcf",
+                 os.path.join(work, "multi", "volcanosv_large_indel.vcf"),
+                 "-o", os.path.join(work, "multi_cx")]) == 0
     if full:
         # the FULL pipeline (asm + 3 vc paths + merge) across the group
         rc = main(["run", "--ref", f"{sim_dir}/ref.fa",
@@ -210,6 +232,19 @@ def main() -> None:
         n_records = sum(1 for ln in a.splitlines() if not ln.startswith(b"#"))
     except OSError as e:
         print(f"pipeline output missing: {e}", file=sys.stderr)
+    def _same(sub_a: str, sub_b: str, name: str):
+        try:
+            a = open(os.path.join(work, sub_a, name), "rb").read()
+            b = open(os.path.join(work, sub_b, name), "rb").read()
+            return a == b and len(a) > 0
+        except OSError as e:
+            print(f"{name} missing: {e}", file=sys.stderr)
+            return False
+
+    small_identical = _same("single_small", "multi_small",
+                            "volcanosv_small_indel.vcf")
+    cx_identical = _same("single_cx", "multi_cx",
+                         "volcanosv_complex_sv.vcf")
     run_identical = None
     if args.full:
         run_identical = False
@@ -227,8 +262,11 @@ def main() -> None:
         "devices_per_process": args.devs,
         "ok": ok and len(rows) == args.n
               and all_chroms == sorted(f"chr{i}" for i in range(1, 23))
-              and identical and run_identical is not False,
+              and identical and small_identical and cx_identical
+              and run_identical is not False,
         "pipeline_vcf_identical": identical,
+        "small_vcf_identical": small_identical,
+        "complex_vcf_identical": cx_identical,
         "pipeline_vcf_records": n_records,
         "full_run_vcf_identical": run_identical,
         "rows": rows,

@@ -19,6 +19,10 @@ import sys
 import threading
 import time
 
+# runnable as `python tools/scale_run.py` from anywhere: sys.path[0] is
+# tools/, so put the repo root ahead of it (the round-3 verdict hit this)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _peak_rss_gb() -> float:
     # ru_maxrss is KB on Linux

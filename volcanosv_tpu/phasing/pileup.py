@@ -53,6 +53,26 @@ def _aligned_pairs(rec: BamRecord):
     return ref_idx, read_idx, indel_pos, indel_len, indel_isdel
 
 
+def _rec_arrays(rec: BamRecord, L: int, cfg: PhasingConfig):
+    """Aligned-pair arrays for one record, recomputed on demand (streaming
+    memory model): (ref_idx, rb_masked, read_idx, codes, indel_pos,
+    indel_len, indel_isdel) — ref_idx is None when the record has no
+    aligned columns."""
+    ref_idx, read_idx, indel_pos, indel_len, indel_isdel = \
+        _aligned_pairs(rec)
+    if len(ref_idx) == 0:
+        return None, None, None, None, indel_pos, indel_len, indel_isdel
+    ok = (ref_idx >= 0) & (ref_idx < L)
+    ref_idx, read_idx = ref_idx[ok], read_idx[ok]
+    codes = encode_seq(rec.seq)
+    rb = codes[read_idx]
+    if rec.qual is not None and len(rec.qual) == len(rec.seq):
+        # mask low-quality bases (longshot --min_base_qual role)
+        q = np.asarray(rec.qual)[read_idx]
+        rb = np.where(q >= cfg.min_base_qual, rb, np.int8(5))
+    return ref_idx, rb, read_idx, codes, indel_pos, indel_len, indel_isdel
+
+
 @dataclass
 class PileupResult:
     snp_pos: np.ndarray        # (S,) 0-based candidate positions, sorted
@@ -81,36 +101,30 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     icov = np.zeros(L + 1, np.int32)   # reads-with-an-indel-nearby overlay
     mm_pos: list[np.ndarray] = []
     mm_base: list[np.ndarray] = []
-    pairs = []            # cached per-read (ref_idx, masked bases, read idx)
-    segs = []             # cached (ref_idx, read_idx, codes) for realignment
     names: list[str] = []
     do_realign = cfg.realign and cfg.error_rate is not None
     rec_span: list[tuple[int, int]] = []    # per pileup record (start, end)
     rec_events: list[tuple] = []            # per record (pos, len, isdel)
+    kept_recs: list[BamRecord] = []
+    # pass 1 is STREAMING: per-record aligned-pair arrays (16+ bytes/bp)
+    # are recomputed on demand in the realign/observation passes instead
+    # of being retained — retained pairs+segs were ~25 bytes/bp of host
+    # RSS, the round-3 scale wall (a 50Mb chromosome at 24x is 1.2 Gbp)
     for rec in records:
         if rec.is_unmapped or rec.is_secondary or rec.mapq < cfg.min_mapq \
                 or not rec.seq:
             continue
-        ref_idx, read_idx, indel_pos, indel_len, indel_isdel = \
-            _aligned_pairs(rec)
-        if len(ref_idx) == 0:
+        ref_idx, rb, _read_idx, _codes, indel_pos, indel_len, indel_isdel \
+            = _rec_arrays(rec, L, cfg)
+        if ref_idx is None:
             continue
-        ok = (ref_idx >= 0) & (ref_idx < L)
-        ref_idx, read_idx = ref_idx[ok], read_idx[ok]
-        codes = encode_seq(rec.seq)
-        rb = codes[read_idx]
-        if rec.qual is not None and len(rec.qual) == len(rec.seq):
-            # mask low-quality bases (longshot --min_base_qual role)
-            q = np.asarray(rec.qual)[read_idx]
-            rb = np.where(q >= cfg.min_base_qual, rb, np.int8(5))
-        pairs.append((ref_idx, rb, len(names)))
         if do_realign:
-            segs.append((ref_idx, read_idx, codes))
             # this read votes 'indel nearby' on ±10bp around each gap event
             for ip in indel_pos:
                 lo = max(int(ip) - 10, 0)
                 icov[lo] += 1
                 icov[min(int(ip) + 11, L)] -= 1
+        kept_recs.append(rec)
         names.append(rec.name)
         rec_span.append((rec.pos, rec.reference_end))
         cov[rec.pos] += 1
@@ -182,8 +196,13 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         R_MAX = W + 16
         ri_pos = cand_pos[ri]
         p_segs, p_lens, p_read, p_site = [], [], [], []
-        for ridx, (ref_idx, read_idx, codes) in enumerate(segs):
-            if len(ref_idx) == 0:
+        for ridx, rec in enumerate(kept_recs):
+            s0, e0 = rec_span[ridx]
+            # cheap span prefilter before recomputing the aligned pairs
+            if not ((ri_pos >= s0) & (ri_pos < e0)).any():
+                continue
+            ref_idx, _rb, read_idx, codes, *_ = _rec_arrays(rec, L, cfg)
+            if ref_idx is None or len(ref_idx) == 0:
                 continue
             lo_s = np.searchsorted(ri_pos, ref_idx[0] + 2, side="left")
             hi_s = np.searchsorted(ri_pos, ref_idx[-1] - 2, side="right")
@@ -342,7 +361,10 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     obs_read, obs_snp, obs_allele = [], [], []
     rbase = ref_codes[cand_pos]
     if len(cand_pos):
-        for ref_idx, rb, ridx in pairs:
+        for ridx, rec in enumerate(kept_recs):
+            ref_idx, rb, *_ = _rec_arrays(rec, L, cfg)
+            if ref_idx is None:
+                continue
             j = np.searchsorted(cand_pos, ref_idx)
             j = np.clip(j, 0, len(cand_pos) - 1)
             hit = cand_pos[j] == ref_idx
