@@ -104,7 +104,7 @@ def run_assembly(groups: dict[str, list[str]], cfg: AssemblyConfig,
     if cfg.consensus_rounds > 0:
         with stage_timer("farm_polish", log):
             drafts_by_gi, votes = polish_grouped(
-                drafts_by_gi, reads_by_gi, AlignConfig.preset("map-hifi"),
+                drafts_by_gi, reads_by_gi, AlignConfig.preset("polish"),
                 rounds=cfg.consensus_rounds,
                 weights_by_group=weights_by_gi)
         # drop leak-artifact fragment drafts: a draft of a multi-draft,

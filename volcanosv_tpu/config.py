@@ -103,6 +103,13 @@ class AlignConfig:
                                inv_rescue_min_score_frac=0.35)
         if name == "ava":
             return AlignConfig(k=15, w=5, min_chain_score=60, min_chain_anchors=2)
+        if name == "polish":
+            # reads → own-group drafts for consensus: inversion rescue is
+            # meaningless here (a read never spans an inversion relative
+            # to a draft assembled from the same reads) and costs a full
+            # re-align pass per batch
+            return AlignConfig(k=19, w=19, min_chain_score=60,
+                               inv_rescue=False)
         raise ValueError(f"unknown preset {name}")
 
 

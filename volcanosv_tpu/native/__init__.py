@@ -13,7 +13,8 @@ import os
 import subprocess
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "bamscan.cpp", "sketch.cpp", "seedchain.cpp"]
+_SOURCES = ["chain.cpp", "bamscan.cpp", "sketch.cpp", "seedchain.cpp",
+            "ava.cpp"]
 
 
 def _lib_path() -> str:
@@ -98,6 +99,55 @@ def _configure(lib) -> None:
     lib.seed_chain_batch.restype = ctypes.POINTER(SeedChainStruct)
     lib.seed_chain_free.argtypes = [ctypes.POINTER(SeedChainStruct)]
     lib.seed_chain_free.restype = None
+
+    lib.ava_overlaps.argtypes = [
+        i8p, i64p, ctypes.c_int64,                      # codes, q_off, n
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # k, w, max_hits
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int32,                 # chain params
+        ctypes.c_int32]                                  # n_threads
+    lib.ava_overlaps.restype = ctypes.POINTER(AvaStruct)
+    lib.ava_free.argtypes = [ctypes.POINTER(AvaStruct)]
+    lib.ava_free.restype = None
+
+
+def ava_overlaps_np(lib, codes, acfg):
+    """Call ava_overlaps on a list of 2-bit code arrays → numpy columns
+    (a, b, strand, score, q_start, q_end, t_start, t_end)."""
+    import numpy as np
+    q_off = np.zeros(len(codes) + 1, np.int64)
+    np.cumsum([len(c) for c in codes], out=q_off[1:])
+    flat = np.concatenate(codes) if codes else np.zeros(0, np.int8)
+    flat = np.ascontiguousarray(flat, np.int8)
+    res = lib.ava_overlaps(flat, q_off, len(codes),
+                           acfg.k, acfg.w, 64,
+                           16, acfg.max_anchor_gap, acfg.chain_bandwidth,
+                           0.05, float(acfg.min_chain_score),
+                           acfg.min_chain_anchors, 0)
+    try:
+        r = res.contents
+        n = int(r.n)
+        cols = tuple(np.ctypeslib.as_array(p, shape=(n,)).copy()
+                     for p in (r.a, r.b, r.strand, r.score,
+                               r.q_start, r.q_end, r.t_start, r.t_end))
+    finally:
+        lib.ava_free(res)
+    return cols
+
+
+class AvaStruct(ctypes.Structure):
+    """Mirror of AvaResult in ava.cpp (field order must match)."""
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("a", ctypes.POINTER(ctypes.c_int32)),
+        ("b", ctypes.POINTER(ctypes.c_int32)),
+        ("strand", ctypes.POINTER(ctypes.c_int8)),
+        ("score", ctypes.POINTER(ctypes.c_float)),
+        ("q_start", ctypes.POINTER(ctypes.c_int64)),
+        ("q_end", ctypes.POINTER(ctypes.c_int64)),
+        ("t_start", ctypes.POINTER(ctypes.c_int64)),
+        ("t_end", ctypes.POINTER(ctypes.c_int64)),
+    ]
 
 
 class SeedChainStruct(ctypes.Structure):
