@@ -389,7 +389,7 @@ class Aligner:
         return self.ref_codes[self.names[idx]][a - off : b - off]
 
     def _seed_chain_stream(self, queries: list[tuple[str, str]],
-                           max_chains: int, chunk: int = 128):
+                           max_chains: int, chunk: int = 512):
         """Yields (qname, qc_fwd, chains) per query.
 
         Native path: the fused seed_chain_batch kernel runs per chunk on a
@@ -409,13 +409,18 @@ class Aligner:
                     t_pos, q_pos, strand = self.index.anchors(qp, qh, qs)
                     chains = chain_anchors(t_pos, q_pos, strand, len(qc_fwd),
                                            cfg, max_chains=max_chains)
-                yield qname, qc_fwd, chains
+                yield qname, qc_fwd, self._select(chains, len(qc_fwd))
             return
         from concurrent.futures import ThreadPoolExecutor
 
         def job(part):
+            # primary/supplementary selection runs inside the native call
+            # (select_chains in seedchain.cpp — same cover logic as the
+            # python _select/_anchor_cover pair)
             qcs = [encode_seq(s) for _, s in part]
-            return qcs, seed_chain_batch(qcs, self.index, cfg, max_chains)
+            return qcs, seed_chain_batch(qcs, self.index, cfg, max_chains,
+                                         select=(self._SEL_HOLE,
+                                                 self._SEL_FRAC))
 
         parts = [queries[i:i + chunk] for i in range(0, len(queries), chunk)]
         with ThreadPoolExecutor(max_workers=1) as ex:
@@ -442,7 +447,6 @@ class Aligner:
                 qlen = len(qc_fwd)
                 if not chains:
                     continue
-                chains = self._select(chains, qlen)
                 qc_rev = None
                 for rank, ch in enumerate(chains):
                     # drop chains crossing reference boundaries
@@ -475,7 +479,9 @@ class Aligner:
         (gaps > `hole` between anchors stay uncovered, so an opposite-strand
         chain filling e.g. an inversion interior is not shadowed)."""
         k = self.cfg.k
-        a = np.sort(ch.anchors_q)
+        a = ch.anchors_q
+        if len(a) > 1 and not bool(np.all(a[1:] >= a[:-1])):
+            a = np.sort(a)
         ends = a + k                      # sorted ⇒ ends sorted too
         brk = np.nonzero(a[1:] > ends[:-1] + hole)[0] + 1
         starts = np.concatenate([[0], brk])
@@ -485,9 +491,15 @@ class Aligner:
             iv = [(qlen - e, qlen - s) for s, e in iv]
         return iv
 
+    _SEL_HOLE = 100
+    _SEL_FRAC = 0.5
+
     def _select(self, chains: list[Chain], qlen: int) -> list[Chain]:
         """Primary + non-redundant supplementary selection by query overlap
-        against anchor-covered intervals (not whole chain spans)."""
+        against anchor-covered intervals (not whole chain spans).  The
+        native path applies the same logic in seedchain.cpp select_chains;
+        this python version serves the fallback path (and is the oracle
+        the native selection is pinned against in tests)."""
         out: list[Chain] = []
         cov: list[tuple[int, int]] = []
         for ch in chains:
@@ -555,22 +567,52 @@ class Aligner:
         ~20% of warm read-alignment wall)."""
         cig = np.asarray(a.cigar, np.int64)
         ops, lens = cig[:, 0], cig[:, 1]
-        cr = np.isin(ops, (M, D)) * lens
-        cq = np.isin(ops, (M, I, S)) * lens
-        r0s = a.pos + np.concatenate([[0], np.cumsum(cr)[:-1]])
-        q0s = np.concatenate([[0], np.cumsum(cq)[:-1]])
-        # all M columns in one flat gather (ref_idx/q_idx per column)
+
+        def _offsets():
+            cr = ((ops == M) | (ops == D)) * lens
+            cq = ((ops == M) | (ops == I) | (ops == S)) * lens
+            r0s = a.pos + np.concatenate([[0], np.cumsum(cr)[:-1]])
+            q0s = np.concatenate([[0], np.cumsum(cq)[:-1]])
+            return r0s, q0s
+
+        from .native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "soup_runs"):
+            max_out = 64
+            r0_arr = np.empty(max_out, np.int64)
+            r1_arr = np.empty(max_out, np.int64)
+            n = lib.soup_runs(np.ascontiguousarray(cig.reshape(-1)),
+                              len(ops), a.pos,
+                              np.ascontiguousarray(qc, np.int8), len(qc),
+                              np.ascontiguousarray(tc, np.int8), len(tc),
+                              self._RESCUE_GAP, self._RESCUE_MIN_SPAN,
+                              self._RESCUE_MIN_EVENTS,
+                              float(self.cfg.inv_rescue_density),
+                              self._RESCUE_SMALL_INDEL,
+                              self._RESCUE_MAX_SPAN, self._RESCUE_MARGIN,
+                              r0_arr, r1_arr, max_out)
+            if n == 0:
+                return []
+            r0s, q0s = _offsets()
+            runs = []
+            for i in range(int(n)):
+                r0, r1 = int(r0_arr[i]), int(r1_arr[i])
+                q0 = _ref_to_query(ops, lens, r0s, q0s, r0)
+                q1 = _ref_to_query(ops, lens, r0s, q0s, r1)
+                if q1 - q0 >= self._RESCUE_MIN_SPAN:
+                    runs.append((r0, r1, q0, q1))
+            return runs
+        r0s, q0s = _offsets()
+        # per-M-run slice compares (no index-array materialization: two
+        # int8 slices per run instead of building ~qlen int64 gathers —
+        # this runs on EVERY alignment)
         m_sel = (ops == M) & (lens > 0)
         events_list: list[np.ndarray] = []
-        if m_sel.any():
-            ls = lens[m_sel]
-            base = np.repeat(np.cumsum(ls) - ls, ls)
-            offs = np.arange(int(ls.sum())) - base
-            ridx = np.repeat(r0s[m_sel], ls) + offs
-            qidx = np.repeat(q0s[m_sel], ls) + offs
-            mm = qc[qidx] != tc[ridx]
-            if mm.any():
-                events_list.append(ridx[mm])
+        for i in np.nonzero(m_sel)[0]:
+            r0, q0, ln = int(r0s[i]), int(q0s[i]), int(lens[i])
+            mm = np.nonzero(qc[q0:q0 + ln] != tc[r0:r0 + ln])[0]
+            if len(mm):
+                events_list.append(mm + r0)
         ind_sel = ((ops == I) | (ops == D)) & (lens > 0) \
             & (lens <= self._RESCUE_SMALL_INDEL)
         if ind_sel.any():

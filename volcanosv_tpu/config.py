@@ -331,6 +331,11 @@ class PhasingConfig:
     #                                   fraction of covering reads has an
     #                                   indel within ±10bp
     realign_af_relax: float = 0.5    # af pre-gate multiplier at those sites
+    # longshot's realign-EVERYWHERE model (the reason it works at CLR 89x,
+    # volcanosv-asm.py:75-80): at ≥ ~5% error every site is near-indel, so
+    # every candidate's k/n is re-derived by the pair-HMM before the
+    # genotype-likelihood gate.  for_dtype turns this on for CLR/ONT.
+    realign_all: bool = False
     # dense-cluster filter (longshot -D role): candidate SNVs packed this
     # tightly are mismapping/inversion artifacts, not real variation
     dense_count: int = 6             # ≥ this many candidates ...
@@ -367,13 +372,27 @@ class PhasingConfig:
         rate = {DataType.HIFI: base.error_rate_hifi,
                 DataType.CLR: base.error_rate_clr,
                 DataType.ONT: base.error_rate_ont}[DataType(dtype)]
-        # CLR/ONT: a 0.2 af band would drown in noise — let the likelihood
-        # gate decide from a lower enumeration floor
-        af = base.min_allele_frac if DataType(dtype) == DataType.HIFI \
-            else 0.15
-        mml = 6 if DataType(dtype) == DataType.HIFI else base.marker_min_len
+        # CLR/ONT: the enumeration floor must sit ABOVE the platform's
+        # per-column mismatch noise (measured noise af p99.9 ≈ 0.32 at CLR
+        # 13.5% total error; true-het exact columns sit at 0.28-0.8) — a
+        # low floor floods the candidate set and the dense filter then
+        # masks whole chromosomes (the round-4 "0 SNPs at CLR" failure).
+        # The near-indel af relax is disabled there (every site is
+        # near-indel at that error rate; the pair-HMM re-derives counts
+        # anyway via realign_all).
+        hifi = DataType(dtype) == DataType.HIFI
+        af = base.min_allele_frac if hifi else 0.22
+        relax = base.realign_af_relax if hifi else 1.0
+        mml = 6 if hifi else base.marker_min_len
+        # higher qual bar at high error: realigned noise columns at
+        # af 0.2-0.4 clear qual 20 but not 40; true hets clear both
+        # (measured CLR 100kb: prec 0.87→0.98 at unchanged recall 0.91)
+        qual = base.min_snp_qual if hifi else 40.0
         return dataclasses.replace(base, error_rate=rate,
-                                   min_allele_frac=af, marker_min_len=mml)
+                                   min_allele_frac=af, marker_min_len=mml,
+                                   realign_af_relax=relax,
+                                   realign_all=not hifi,
+                                   min_snp_qual=qual)
 
 
 @dataclass(frozen=True)

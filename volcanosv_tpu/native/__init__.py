@@ -14,7 +14,7 @@ import subprocess
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = ["chain.cpp", "bamscan.cpp", "sketch.cpp", "seedchain.cpp",
-            "ava.cpp"]
+            "ava.cpp", "soup.cpp"]
 
 
 def _lib_path() -> str:
@@ -95,7 +95,8 @@ def _configure(lib) -> None:
         u32p, i64p, i8p, ctypes.c_int64, ctypes.c_int32,  # index, max_hits
         ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, ctypes.c_int32, ctypes.c_int32,  # chain params
-        ctypes.c_int32]                                  # n_threads
+        ctypes.c_int32,                                  # n_threads
+        ctypes.c_int64, ctypes.c_float]                  # sel_hole, sel_frac
     lib.seed_chain_batch.restype = ctypes.POINTER(SeedChainStruct)
     lib.seed_chain_free.argtypes = [ctypes.POINTER(SeedChainStruct)]
     lib.seed_chain_free.restype = None
@@ -109,6 +110,14 @@ def _configure(lib) -> None:
     lib.ava_overlaps.restype = ctypes.POINTER(AvaStruct)
     lib.ava_free.argtypes = [ctypes.POINTER(AvaStruct)]
     lib.ava_free.restype = None
+
+    lib.soup_runs.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64,           # cigar, n_ops, pos
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,       # qc, qlen, tc, tlen
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # params
+        i64p, i64p, ctypes.c_int64]                      # out_r0/r1, max_out
+    lib.soup_runs.restype = ctypes.c_int64
 
 
 def ava_overlaps_np(lib, codes, acfg):

@@ -42,6 +42,60 @@ struct ChainOut {
 
 struct Anchor { int64_t t, q; };
 
+// Primary + non-redundant supplementary selection (the python
+// Aligner._select/_anchor_cover logic, moved native): chains are taken in
+// score-descending order; one overlapping > sel_frac of its query span
+// with the anchor-covered intervals of already-accepted chains is
+// dropped.  Anchor cover merges anchors into forward-orientation query
+// intervals, leaving holes > sel_hole uncovered.
+void select_chains(std::vector<ChainOut>& chains, int64_t qlen, int32_t k,
+                   int64_t sel_hole, float sel_frac)
+{
+    std::stable_sort(chains.begin(), chains.end(),
+                     [](const ChainOut& a, const ChainOut& b) {
+                         return a.score > b.score;
+                     });
+    struct IV { int64_t s, e; };
+    std::vector<IV> cov;
+    std::vector<ChainOut> kept;
+    std::vector<int64_t> aq_sorted;
+    for (auto& ch : chains) {
+        int64_t qs = ch.aq[0], qe = ch.aq[0];
+        for (int64_t v : ch.aq) { if (v < qs) qs = v; if (v > qe) qe = v; }
+        qe += k;
+        const int64_t fq_s = ch.strand == -1 ? qlen - qe : qs;
+        const int64_t fq_e = ch.strand == -1 ? qlen - qs : qe;
+        int64_t ov = 0;
+        for (const auto& iv : cov) {
+            const int64_t lo = iv.s > fq_s ? iv.s : fq_s;
+            const int64_t hi = iv.e < fq_e ? iv.e : fq_e;
+            if (hi > lo) ov += hi - lo;
+        }
+        if ((float)ov > sel_frac * (float)(fq_e - fq_s)) continue;
+        // anchor cover in the oriented frame, then flip if '-'
+        aq_sorted.assign(ch.aq.begin(), ch.aq.end());
+        std::sort(aq_sorted.begin(), aq_sorted.end());
+        int64_t run_s = aq_sorted[0], run_e = aq_sorted[0] + k;
+        std::vector<IV> ivs;
+        for (std::size_t i = 1; i < aq_sorted.size(); ++i) {
+            if (aq_sorted[i] > run_e + sel_hole) {
+                ivs.push_back({run_s, run_e});
+                run_s = aq_sorted[i];
+            }
+            run_e = aq_sorted[i] + k;
+        }
+        ivs.push_back({run_s, run_e});
+        for (auto& iv : ivs) {
+            if (ch.strand == -1)
+                cov.push_back({qlen - iv.e, qlen - iv.s});
+            else
+                cov.push_back(iv);
+        }
+        kept.push_back(std::move(ch));
+    }
+    chains.swap(kept);
+}
+
 void run_query(
     int32_t qi_idx, const int8_t* codes, int64_t qlen,
     int32_t k, int32_t w,
@@ -49,6 +103,7 @@ void run_query(
     const int8_t* idx_strand, int64_t idx_n, int32_t max_hits,
     int32_t max_pred, int64_t max_gap, int64_t bandwidth, float gap_scale,
     float min_score, int32_t min_anchors, int32_t max_chains,
+    int64_t sel_hole, float sel_frac,
     std::vector<ChainOut>& out,
     std::vector<int64_t>& pos_buf, std::vector<uint32_t>& hash_buf,
     std::vector<int8_t>& strand_buf, std::vector<Anchor>& anch,
@@ -122,6 +177,8 @@ void run_query(
             }
         }
     }
+    if (sel_frac > 0.0f && !out.empty())
+        select_chains(out, qlen, k, sel_hole, sel_frac);
 }
 
 }  // namespace
@@ -146,7 +203,7 @@ SeedChainResult* seed_chain_batch(
     const int8_t* idx_strand, int64_t idx_n, int32_t max_hits,
     int32_t max_pred, int64_t max_gap, int64_t bandwidth, float gap_scale,
     float min_score, int32_t min_anchors, int32_t max_chains,
-    int32_t n_threads)
+    int32_t n_threads, int64_t sel_hole, float sel_frac)
 {
     int nt = n_threads > 0 ? n_threads
                            : (int)std::thread::hardware_concurrency();
@@ -169,6 +226,7 @@ SeedChainResult* seed_chain_batch(
                       idx_hash, idx_pos, idx_strand, idx_n, max_hits,
                       max_pred, max_gap, bandwidth, gap_scale,
                       min_score, min_anchors, max_chains,
+                      sel_hole, sel_frac,
                       per_q[(size_t)qi],
                       pos_buf, hash_buf, strand_buf, anch,
                       f_buf, pre_buf, used_buf, cid_buf);

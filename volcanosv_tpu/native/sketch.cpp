@@ -25,6 +25,13 @@ extern "C" {
 
 // codes: 2-bit codes with 4 = N.  Outputs sized >= L-k+1 by the caller.
 // Returns the number of minimizers (or -1 on bad args).
+//
+// Single fused pass: the rolling hash feeds a w-bounded monotonic ring
+// deque directly (no O(L) temporaries — the earlier two-pass version
+// allocated five O(L) arrays per call, which dominated its runtime on
+// read-sized inputs).  The window front is the rightmost argmin; its
+// position is non-decreasing as the window slides, so emitting on
+// front-change yields exactly the two-pass marker set, in order.
 int64_t sketch_dna(const int8_t* codes, int64_t L, int32_t k, int32_t w,
                    int64_t* out_pos, uint32_t* out_hash, int8_t* out_strand) {
   if (k < 1 || k > 31 || w < 1) return -1;
@@ -32,12 +39,18 @@ int64_t sketch_dna(const int8_t* codes, int64_t L, int32_t k, int32_t w,
   if (n < w) return 0;
   const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
 
-  std::vector<uint32_t> h(n);
-  std::vector<int8_t> strand(n);
-  std::vector<uint8_t> ok(n);
+  int64_t cap = 2;                          // pow2 ring ≥ w+1 entries
+  while (cap < (int64_t)w + 1) cap <<= 1;
+  const int64_t rmask = cap - 1;
+  std::vector<int64_t> dpos((std::size_t)cap);
+  std::vector<uint32_t> dh((std::size_t)cap);
+  std::vector<int8_t> ds((std::size_t)cap);
 
   uint64_t fwd = 0, rc = 0;
   int64_t last_n = -1;  // last position holding an N
+  int64_t head = 0, tail = 0;   // ring indices, [head, tail) mod cap
+  int64_t last_emit = -1;
+  int64_t m = 0;
   for (int64_t i = 0; i < L; ++i) {
     uint64_t c = static_cast<uint64_t>(codes[i]);
     if (c > 3) {
@@ -46,38 +59,31 @@ int64_t sketch_dna(const int8_t* codes, int64_t L, int32_t k, int32_t w,
     }
     fwd = ((fwd << 2) | c) & mask;
     rc = (rc >> 2) | ((c ^ 3ull) << (2 * (k - 1)));
-    int64_t p = i - k + 1;
+    const int64_t p = i - k + 1;
     if (p < 0) continue;
-    bool valid = last_n < p;
-    bool amb = fwd == rc;
-    int8_t s = rc < fwd ? 1 : 0;
-    uint64_t canon = s ? rc : fwd;
-    h[p] = mix32(static_cast<uint32_t>(canon ^ (canon >> 29)));
-    strand[p] = s;
-    ok[p] = valid && !amb;
-  }
-
-  // monotonic deque: back-pop on >= gives the RIGHTMOST argmin at the front
-  std::vector<uint8_t> is_min(n, 0);
-  std::vector<int64_t> dq(n);
-  int64_t head = 0, tail = 0;  // [head, tail)
-  for (int64_t i = 0; i < n; ++i) {
-    if (ok[i]) {
-      while (tail > head && h[dq[tail - 1]] >= h[i]) --tail;
-      dq[tail++] = i;
+    if (last_n < p && fwd != rc) {          // valid, non-palindromic
+      const int8_t s = rc < fwd ? 1 : 0;
+      const uint64_t canon = s ? rc : fwd;
+      const uint32_t hp =
+          mix32(static_cast<uint32_t>(canon ^ (canon >> 29)));
+      // back-pop on >= gives the RIGHTMOST argmin at the front
+      while (tail > head && dh[(tail - 1) & rmask] >= hp) --tail;
+      dpos[tail & rmask] = p;
+      dh[tail & rmask] = hp;
+      ds[tail & rmask] = s;
+      ++tail;
     }
-    int64_t win_lo = i - w + 1;
-    while (tail > head && dq[head] < win_lo) ++head;
-    if (win_lo >= 0 && tail > head) is_min[dq[head]] = 1;
-  }
-
-  int64_t m = 0;
-  for (int64_t p = 0; p < n; ++p) {
-    if (is_min[p]) {
-      out_pos[m] = p;
-      out_hash[m] = h[p];
-      out_strand[m] = strand[p];
-      ++m;
+    const int64_t win_lo = p - w + 1;
+    while (tail > head && dpos[head & rmask] < win_lo) ++head;
+    if (win_lo >= 0 && tail > head) {
+      const int64_t fp = dpos[head & rmask];
+      if (fp != last_emit) {
+        out_pos[m] = fp;
+        out_hash[m] = dh[head & rmask];
+        out_strand[m] = ds[head & rmask];
+        ++m;
+        last_emit = fp;
+      }
     }
   }
   return m;

@@ -83,7 +83,9 @@ def _backtrack_np(f, pre, min_score, min_anchors, max_chains):
 
 def seed_chain_batch(code_list: list[np.ndarray], index, cfg: AlignConfig,
                      max_chains: int = 64, max_hits: int = 64,
-                     max_pred: int = 48) -> list[list[Chain]] | None:
+                     max_pred: int = 48,
+                     select: tuple[int, float] | None = None,
+                     ) -> list[list[Chain]] | None:
     """Fused native front-end for a BATCH of queries: sketch → index lookup
     → anchor expansion → per-strand chain DP → backtrack in one ctypes call
     (threaded across host cores, GIL released so planning overlaps).
@@ -103,12 +105,14 @@ def seed_chain_batch(code_list: list[np.ndarray], index, cfg: AlignConfig,
         q_off[i + 1] = q_off[i] + len(c)
     codes = np.ascontiguousarray(
         np.concatenate(code_list) if n else np.zeros(0, np.int8), np.int8)
+    sel_hole, sel_frac = select if select is not None else (0, -1.0)
     res = lib.seed_chain_batch(
         codes, q_off, n, cfg.k, cfg.w,
         index.sorted_hash, index.sorted_pos, index.sorted_strand,
         len(index.sorted_hash), max_hits,
         max_pred, cfg.max_anchor_gap, cfg.chain_bandwidth, 0.05,
-        float(cfg.min_chain_score), cfg.min_chain_anchors, max_chains, 0)
+        float(cfg.min_chain_score), cfg.min_chain_anchors, max_chains, 0,
+        sel_hole, sel_frac)
     r = res.contents
     nc, na = int(r.n_chains), int(r.n_anchors)
     cq = np.ctypeslib.as_array(r.chain_query, (nc + 1,))[:nc].copy()
@@ -118,21 +122,26 @@ def seed_chain_batch(code_list: list[np.ndarray], index, cfg: AlignConfig,
     aq = np.ctypeslib.as_array(r.aq, (na + 1,))[:na].copy()
     at = np.ctypeslib.as_array(r.at, (na + 1,))[:na].copy()
     lib.seed_chain_free(res)
-    for ci in range(nc):
-        qi, s = int(cq[ci]), int(cs[ci])
-        a_q = aq[off[ci]:off[ci + 1]]
-        a_t = at[off[ci]:off[ci + 1]]
-        qlen = int(q_off[qi + 1] - q_off[qi])
-        q_start, q_end = int(a_q.min()), int(a_q.max()) + cfg.k
-        if s == -1:
-            fq_start, fq_end = qlen - q_end, qlen - q_start
-        else:
-            fq_start, fq_end = q_start, q_end
-        out[qi].append(Chain(
-            q_start=fq_start, q_end=fq_end,
-            t_start=int(a_t.min()), t_end=int(a_t.max()) + cfg.k,
-            strand=s, score=float(sc[ci]),
-            anchors_q=a_q, anchors_t=a_t))
+    if nc:
+        # vectorized span extraction (was a per-chain python loop with
+        # .min()/.max() — ~30% of warm seed_chain wall on a 1-core host)
+        starts = off[:-1]
+        qmin = np.minimum.reduceat(aq, starts)
+        qmax = np.maximum.reduceat(aq, starts) + cfg.k
+        tmin = np.minimum.reduceat(at, starts)
+        tmax = np.maximum.reduceat(at, starts) + cfg.k
+        qlens = q_off[cq.astype(np.int64) + 1] - q_off[cq.astype(np.int64)]
+        neg = cs == -1
+        fq_start = np.where(neg, qlens - qmax, qmin)
+        fq_end = np.where(neg, qlens - qmin, qmax)
+        for ci in range(nc):
+            qi = int(cq[ci])
+            out[qi].append(Chain(
+                q_start=int(fq_start[ci]), q_end=int(fq_end[ci]),
+                t_start=int(tmin[ci]), t_end=int(tmax[ci]),
+                strand=int(cs[ci]), score=float(sc[ci]),
+                anchors_q=aq[off[ci]:off[ci + 1]],
+                anchors_t=at[off[ci]:off[ci + 1]]))
     for chains in out:
         chains.sort(key=lambda c: -c.score)
     return out

@@ -185,11 +185,17 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
     depth, af, near_indel = depth[keep], af[keep], near_indel[keep]
     af_floor = af_floor[keep]
 
-    # --- pair-HMM realignment of near-indel candidate sites -------------
+    # --- pair-HMM realignment of candidate sites ------------------------
+    # near-indel sites by default; ALL candidate sites in realign_all mode
+    # (longshot's model — at CLR/ONT error rates the aligner's columns are
+    # unreliable everywhere, and the HMM's per-read re-read is also what
+    # kills shifted-noise columns the raw-count GL would miscall)
     realigned_obs: dict[tuple[int, int], int] = {}   # (read idx, site j)
     k_eff = cand_cnt.astype(np.float64)
     n_eff = depth.astype(np.float64)
-    ri = np.nonzero(near_indel)[0]
+    realigned = np.zeros(len(cand_pos), bool)
+    ri = np.arange(len(cand_pos)) if cfg.realign_all \
+        else np.nonzero(near_indel)[0]
     if do_realign and len(ri):
         flank = cfg.realign_flank
         W = 2 * flank + 1
@@ -264,6 +270,7 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
             n_new = np.where(use2, n2, n1)
             has = np.zeros(n_sites, bool)
             has[site_arr] = True
+            realigned = has
             k_eff = np.where(has, k_new, k_eff)
             n_eff = np.where(has, np.maximum(n_new, 1.0), n_eff)
             for i in range(N):
@@ -309,7 +316,7 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         keep2 = qual >= cfg.min_snp_qual
         is_het = (ll_ra >= ll_aa)[keep2]
         cand_pos, cand_alt = cand_pos[keep2], cand_alt[keep2]
-        cand_cnt = np.where(near_indel, k_eff.astype(np.int32),
+        cand_cnt = np.where(realigned, k_eff.astype(np.int32),
                             cand_cnt)[keep2]
         depth = depth[keep2]
         if realigned_obs:
@@ -468,6 +475,16 @@ def _build_sv_markers(rec_span: list[tuple[int, int]],
     ends = np.array([e for _, e in rec_span], np.int64)
     out: list[tuple[int, list]] = []
 
+    # platform noise model: total events/bp and indel events/bp — the
+    # clean/carrier gates must sit relative to these, or the markers are
+    # HiFi-only (at CLR's 13.5% total error every read fails a fixed
+    # "≤1 small event per 100bp" cleanliness test and no marker ever
+    # forms — het SVs in het-SNP deserts then die in assembly consensus)
+    er = cfg.error_rate or 0.0
+    noise = 1.5 * er                 # subs + indels per bp
+    indel_noise = 0.5 * er
+    clean_cap = max(1, int(2 * indel_noise * 100))   # ±50bp window
+
     def in_dense(p: int) -> bool:
         return any(a <= p <= b for a, b in dense_ivals)
 
@@ -478,18 +495,19 @@ def _build_sv_markers(rec_span: list[tuple[int, int]],
 
     def is_clean_at(r: int, pos: int) -> bool:
         """A ref observation needs a CLEAN alignment at the locus: no big
-        event nearby AND ≤1 small event within ±50bp.  A carrier whose
-        alignment hid the event as soup/shifted ops otherwise lands on the
-        ref side and poisons the MEC column (a false 'two sub-haplotypes'
-        signal — the round-4 regression where markers at nested DELs split
-        one haplotype in half)."""
+        event nearby AND at most ~2× the platform's expected small-indel
+        count within ±50bp.  A carrier whose alignment hid the event as
+        soup/shifted ops otherwise lands on the ref side and poisons the
+        MEC column (a false 'two sub-haplotypes' signal — the round-4
+        regression where markers at nested DELs split one haplotype in
+        half)."""
         if len(big_pos[r]) and \
                 (np.abs(big_pos[r] - pos) <= 300).any():
             # representation lottery: the same event can surface hundreds
             # of bp away in another read's alignment — wide exclusion
             return False
         ep = rec_events[r][0]
-        return int(np.count_nonzero(np.abs(ep - pos) <= 50)) <= 1
+        return int(np.count_nonzero(np.abs(ep - pos) <= 50)) <= clean_cap
 
     ev = []
     for ridx, (ep, el, ed, _mm) in enumerate(rec_events):
@@ -550,10 +568,16 @@ def _build_sv_markers(rec_span: list[tuple[int, int]],
             # mostly mismatch columns)
             cnt = int(np.count_nonzero((ep >= lo) & (ep <= hi))) \
                 + int(np.count_nonzero((mm >= lo) & (mm <= hi)))
-            if cnt >= max(cfg.marker_soup_events, int(0.05 * ov)):
+            # thresholds sit relative to platform noise: an inversion
+            # interior runs at ~0.5+ events/bp regardless of platform,
+            # while background is `noise` events/bp — carrier needs a
+            # clear excess over noise, clean must sit within it
+            if cnt >= max(cfg.marker_soup_events,
+                          int((2 * noise + 0.03) * ov)):
                 obs.append((r, -1))
                 nc += 1
-            elif cnt <= max(1, int(0.01 * ov)) and ov >= min(200, b - a):
+            elif cnt <= max(1, int((1.3 * noise + 0.005) * ov)) \
+                    and ov >= min(200, b - a):
                 obs.append((r, 1))
                 nr += 1
         frac = nc / max(nc + nr, 1)

@@ -381,7 +381,12 @@ def implant_snps_ref(
         # reject candidates inside any SV interval (+margin)
         j = np.searchsorted(starts, cand, side="right") - 1
         bad = (j >= 0) & (cand < ends[np.clip(j, 0, len(ends) - 1)])
-        cand = cand[~bad][:n]
+        cand = cand[~bad]
+        if len(cand) > n:
+            # subsample UNIFORMLY — truncating the sorted list ([:n]) piled
+            # every SNP into the low-coordinate half and left the tail of
+            # the chromosome a het-SNP desert
+            cand = np.sort(rng.choice(cand, n, replace=False))
         h1, h2 = list(out1[chrom]), list(out2[chrom])
         for p in cand:
             old = ref[chrom][p]
