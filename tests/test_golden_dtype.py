@@ -23,16 +23,17 @@ SIM = ["--length", "200000", "--chroms", "1",
        "--n_clustered", "2", "--n_nested", "1", "--n_small", "5",
        "--coverage", "25", "--read_len", "8000", "--seed", "23"]
 
-# (dtype, --err, min_recall, min_precision, min_gt, min_snp_precision)
-# Floors PINNED at the measured fixed-seed state (run on this tree:
-# CLR recall 0.727 / precision 1.0 / F1 0.842; ONT passes 0.85/0.90/0.80;
-# ONT SNP precision 0.857 at recall 0.09).  Known gap, held as a floor so
-# regressions fail loudly: the SNP likelihood gate calls nothing at CLR's
-# 13.5% total error (longshot's pair-HMM-everywhere model wins there) —
-# partition then rides the k-mer vote; large-SV calling still clears
-# 0.70/0.95.
-CASES = [("CLR", 0.09, 0.70, 0.95, 0.75, 0.0),
-         ("ONT", 0.06, 0.85, 0.90, 0.80, 0.80)]
+# (dtype, --err, min_recall, min_precision, min_gt, min_snp_precision,
+#  min_snp_recall)
+# Floors PINNED below the measured fixed-seed state (round 5, this tree:
+# CLR large recall 1.0 / precision 0.957 / GT 0.864, SNP 0.88/0.88,
+# switch 0; ONT large recall 0.955 / precision 1.0 / GT 0.905, SNP
+# recall 0.97 / precision 0.83, switch 0).  The round-4 "0 SNPs at CLR"
+# gap is closed by the realign-everywhere pair-HMM model
+# (PhasingConfig.realign_all) — these floors now hold the noisy-platform
+# paths near the HiFi bar instead of codifying the old gap.
+CASES = [("CLR", 0.09, 0.90, 0.90, 0.80, 0.85, 0.80),
+         ("ONT", 0.06, 0.90, 0.95, 0.85, 0.80, 0.90)]
 
 
 @pytest.fixture(scope="module", params=CASES, ids=lambda c: c[0])
@@ -48,7 +49,7 @@ def dtype_run(request, tmp_path_factory):
 
 
 def test_golden_dtype_large(dtype_run):
-    dtype, sim_dir, out_dir, (min_r, min_p, min_gt, _s) = dtype_run
+    dtype, sim_dir, out_dir, (min_r, min_p, min_gt, _sp, _sr) = dtype_run
     res = evaluate_files(os.path.join(sim_dir, "truth.vcf"),
                          os.path.join(out_dir, "volcanosv_variants.vcf"),
                          EvalParams(pctsim=0.0))
@@ -58,9 +59,9 @@ def test_golden_dtype_large(dtype_run):
 
 
 def test_golden_dtype_snps(dtype_run):
-    dtype, sim_dir, out_dir, (_r, _p, _g, min_sp) = dtype_run
+    dtype, sim_dir, out_dir, (_r, _p, _g, min_sp, min_sr) = dtype_run
     res = evaluate_snp_files(os.path.join(sim_dir, "truth_snps.vcf"),
                              os.path.join(out_dir, "phased_snps.vcf"))
-    if min_sp:
-        assert res["snp_precision"] >= min_sp, (dtype, res)
+    assert res["snp_precision"] >= min_sp, (dtype, res)
+    assert res["snp_recall"] >= min_sr, (dtype, res)
     assert res["switch_error_rate"] <= 0.05, (dtype, res)

@@ -70,8 +70,11 @@ def test_golden_f1_and_gt(golden_run):
     sim_dir, out_dir = golden_run
     res = evaluate_files(os.path.join(sim_dir, "truth.vcf"),
                          os.path.join(out_dir, "volcanosv_variants.vcf"))
-    assert res.f1 >= 0.98, res.summary()
-    assert res.recall >= 0.98, res.summary()
+    # north-star bar (BASELINE.json F1 ≥ 0.99): measured 1.0/1.0/0.9951 on
+    # this tree (round 5 — linkage-split phase blocks + marker-eligible
+    # read assignment)
+    assert res.f1 >= 0.99, res.summary()
+    assert res.recall >= 0.99, res.summary()
     assert res.gt_concordance >= 0.98, res.summary()
 
 

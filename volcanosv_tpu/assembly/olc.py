@@ -459,11 +459,18 @@ def _pow2ceil8(n: int) -> int:
     return p
 
 
+_CIG_TB_BYTE_CAP = 256 << 20     # per-dispatch traceback tensor budget
+_CIG_MAX_INFLIGHT = 2            # dispatched-but-unfetched cap (HBM bound)
+
+
 def _batched_cigars(pairs: list[tuple[str, str]], W: int = _VOTE_W) -> list:
     """Global banded CIGARs for (query, target) string pairs, bucketed by
     padded length into FEW device dispatches (the per-window dispatch was
-    92% of assembly wall — VERDICT r4 weak #3).  All buckets are dispatched
-    before any is fetched so the device pipelines them."""
+    92% of assembly wall — VERDICT r4 weak #3).  Dispatches run ahead of
+    fetches (the device pipelines), but each dispatch's (M, W, B)
+    traceback tensor is capped and at most _CIG_MAX_INFLIGHT dispatches
+    are live at once — unbounded accumulation was the round-3
+    RESOURCE_EXHAUSTED crash class."""
     from ..ops.banded_align import banded_align_cigars_dispatch, pad_batch_pow2
     from ..ops.pack import pad_codes
     if not pairs:
@@ -473,22 +480,31 @@ def _batched_cigars(pairs: list[tuple[str, str]], W: int = _VOTE_W) -> list:
     for i, (q, t) in enumerate(pairs):
         m = max(len(q), len(t), 8)
         buckets.setdefault(_pow2ceil8(m), []).append(i)
-    fins = []
-    for L, idxs in sorted(buckets.items()):
-        qs = [encode_seq(pairs[i][0]) for i in idxs]
-        ts = [encode_seq(pairs[i][1]) for i in idxs]
-        q_pad, qlen = pad_codes(qs, pad_to=L)
-        t_pad, tlen = pad_codes(ts, pad_to=L + W)
-        q_pad, t_pad, qlen, tlen, B = pad_batch_pow2(q_pad, t_pad, qlen,
-                                                     tlen, min_b=8)
-        fin = banded_align_cigars_dispatch(q_pad, t_pad, qlen, tlen, W=W,
-                                           d_lo=-(W // 2),
-                                           scores=_vote_scores())
-        fins.append((idxs, fin))
-    for idxs, fin in fins:
+    pending: list[tuple[list[int], object]] = []
+
+    def _resolve(entry):
+        idxs, fin = entry
         cigs = fin()
         for j, i in enumerate(idxs):
             out[i] = cigs[j]
+
+    for L, idxs in sorted(buckets.items()):
+        b_cap = max(64, _CIG_TB_BYTE_CAP // (L * W))
+        for lo in range(0, len(idxs), b_cap):
+            part = idxs[lo:lo + b_cap]
+            qs = [encode_seq(pairs[i][0]) for i in part]
+            ts = [encode_seq(pairs[i][1]) for i in part]
+            q_pad, qlen = pad_codes(qs, pad_to=L)
+            t_pad, tlen = pad_codes(ts, pad_to=L + W)
+            q_pad, t_pad, qlen, tlen, B = pad_batch_pow2(
+                q_pad, t_pad, qlen, tlen, min_b=8)
+            while len(pending) >= _CIG_MAX_INFLIGHT:
+                _resolve(pending.pop(0))
+            pending.append((part, banded_align_cigars_dispatch(
+                q_pad, t_pad, qlen, tlen, W=W, d_lo=-(W // 2),
+                scores=_vote_scores())))
+    for entry in pending:
+        _resolve(entry)
     return out
 
 

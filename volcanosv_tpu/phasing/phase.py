@@ -203,19 +203,59 @@ def phase_chromosome(pile: PileupResult, cfg: PhasingConfig,
         np.add.at(d, lo[has], 1)
         np.add.at(d, hi[has], -1)
         link = np.cumsum(d)[:-1] > 0
+    # linkage-consistency split (the longshot/HapCUT2 block contract): a
+    # junction where the solved phase runs AGAINST the read linkage — or
+    # where net consistent linkage is thin — is a potential switch point.
+    # One mid-block switch error is invisible to the SNP-level solution
+    # (both sides are internally consistent) but flips the haplotype label
+    # of every read beyond it, which poisons the per-(block, hap) assembly
+    # groups chromosome-wide once blocks span whole chromosomes.  Splitting
+    # there makes the two sides independent blocks, where the label flip
+    # is absorbed by per-block sign freedom.
+    if S > 1 and len(obs_snp):
+        score_d = np.zeros(S, np.int64)
+        order2 = np.lexsort((obs_snp, obs_read))
+        r2 = obs_read[order2]
+        s2 = obs_snp[order2]
+        o2 = obs_allele[order2].astype(np.int64)
+        same = r2[1:] == r2[:-1]
+        inf2 = (o2[1:] != 0) & (o2[:-1] != 0) & same
+        s_a = np.minimum(s2[:-1], s2[1:])[inf2]
+        s_b = np.maximum(s2[:-1], s2[1:])[inf2]
+        span = s_b > s_a
+        s_a, s_b = s_a[span], s_b[span]
+        rel_obs = (o2[1:] * o2[:-1])[inf2][span]
+        rel_chosen = (h[s_a] * h[s_b]).astype(np.int64)
+        consistent = rel_obs * rel_chosen          # ±1 per bridging pair
+        np.add.at(score_d, s_a, consistent)
+        np.add.at(score_d, s_b, -consistent)
+        junction_score = np.cumsum(score_d)[:-1]
+        link &= junction_score >= 2
     block_start = np.concatenate([[True], ~link])
     block_idx = np.cumsum(block_start) - 1
     pos_het = pile.snp_pos[het_idx]
     starts_pos = pos_het[block_start]
     block_id = starts_pos[block_idx] + 1     # PS = 1-based block start pos
 
-    # read → haplotype + block (majority block among its observations)
+    # read → haplotype + block (majority block among its observations).
+    # Eligibility: a read whose ONLY evidence is a single SV-marker column
+    # is a coin flip (measured 44% misassigned on the HiFi golden — marker
+    # carrier/clean calls are individually noisy); such reads stay
+    # unassigned and fall through to the k-mer partition vote.  ≥1 true-SNP
+    # obs or ≥2 marker obs is required to claim a haplotype.
     read_hap = np.zeros(n_reads, np.int8)
     read_block = np.full(n_reads, -1, np.int64)
     if len(obs_read):
         informative = obs_allele != 0
-        r = obs_read[informative]
-        b = block_id[obs_snp[informative]]
+        at_marker = site_marker[obs_snp]
+        nm_count = np.bincount(obs_read[informative & ~at_marker],
+                               minlength=n_reads)
+        mk_count = np.bincount(obs_read[informative & at_marker],
+                               minlength=n_reads)
+        eligible = (nm_count >= 1) | (mk_count >= 2)
+        sel = informative & eligible[obs_read]
+        r = obs_read[sel]
+        b = block_id[obs_snp[sel]]
         # a read's block: the block of its first observation (reads rarely
         # span blocks — blocks break where no read spans)
         order = np.argsort(r, kind="stable")

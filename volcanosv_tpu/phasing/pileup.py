@@ -571,12 +571,14 @@ def _build_sv_markers(rec_span: list[tuple[int, int]],
             # thresholds sit relative to platform noise: an inversion
             # interior runs at ~0.5+ events/bp regardless of platform,
             # while background is `noise` events/bp — carrier needs a
-            # clear excess over noise, clean must sit within it
+            # clear excess over noise, clean must sit within it.  The
+            # low-noise floors (0.05 / 0.01) are the tuned HiFi constants;
+            # the noise terms only take over at CLR/ONT error rates
             if cnt >= max(cfg.marker_soup_events,
-                          int((2 * noise + 0.03) * ov)):
+                          int(max(0.05, 2 * noise + 0.03) * ov)):
                 obs.append((r, -1))
                 nc += 1
-            elif cnt <= max(1, int((1.3 * noise + 0.005) * ov)) \
+            elif cnt <= max(1, int(max(0.01, 1.3 * noise + 0.005) * ov)) \
                     and ov >= min(200, b - a):
                 obs.append((r, 1))
                 nr += 1

@@ -56,18 +56,23 @@ def edit_distance_pairs(seq_pairs: list[tuple[str, str]],
     for i, (a, b) in enumerate(seq_pairs):
         m = max(len(a), len(b), 1)
         buckets.setdefault(min(_pow2ceil(m), 16384), []).append(i)
-    for L, idxs in buckets.items():
-        qs = [encode_seq(seq_pairs[i][0]) for i in idxs]
-        ts = [encode_seq(seq_pairs[i][1]) for i in idxs]
-        q, qlen = pad_codes(qs, pad_to=L)
-        t, tlen = pad_codes(ts, pad_to=L)
-        q, t, qlen_p, tlen_p, B = pad_batch_pow2(q, t, qlen, tlen)
-        W = min(max(128, _pow2ceil(L // 2 + 64)), 4096)
-        if clip_to is not None:
-            W = min(max(128, _pow2ceil(2 * clip_to + 64)), W)
-        dist = np.asarray(
-            edit_distance_batch_auto(q, t, qlen_p, tlen_p, W=W))[:B]
-        out[idxs] = dist
+    for L, all_idxs in buckets.items():
+        # row cap per dispatch: score-only, but a chromosome-wide call can
+        # hold millions of pairs — bound device input bytes per launch
+        b_cap = max(1024, (128 << 20) // (2 * L))
+        for lo in range(0, len(all_idxs), b_cap):
+            idxs = all_idxs[lo:lo + b_cap]
+            qs = [encode_seq(seq_pairs[i][0]) for i in idxs]
+            ts = [encode_seq(seq_pairs[i][1]) for i in idxs]
+            q, qlen = pad_codes(qs, pad_to=L)
+            t, tlen = pad_codes(ts, pad_to=L)
+            q, t, qlen_p, tlen_p, B = pad_batch_pow2(q, t, qlen, tlen)
+            W = min(max(128, _pow2ceil(L // 2 + 64)), 4096)
+            if clip_to is not None:
+                W = min(max(128, _pow2ceil(2 * clip_to + 64)), W)
+            dist = np.asarray(
+                edit_distance_batch_auto(q, t, qlen_p, tlen_p, W=W))[:B]
+            out[idxs] = dist
     return out
 
 
