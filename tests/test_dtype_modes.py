@@ -32,10 +32,14 @@ def test_dtype_configs_differ():
 def test_noisy_dtype_pipeline(tmp_path, dtype, err, min_recall):
     """Realistic platform error rates (`--err E` simulates E subs + E/2
     indels → 1.5·E total): CLR at 13.5% total error, ONT at 9% — the
-    rates the reference's per-dtype parameter tables are tuned for."""
+    rates the reference's per-dtype parameter tables are tuned for.
+
+    16-SV truth so one miss costs 6 recall points, not 25 (VERDICT r4
+    weak #7: the old 4-SV truth made this gate one-miss-from-red); the
+    golden-scale accuracy bars live in test_golden_dtype.py."""
     sim_dir, out = str(tmp_path / "sim"), str(tmp_path / "out")
-    assert main(["sim", "-o", sim_dir, "--length", "30000", "--n_del", "2",
-                 "--n_ins", "2", "--coverage", "30", "--read_len", "5000",
+    assert main(["sim", "-o", sim_dir, "--length", "100000", "--n_del", "8",
+                 "--n_ins", "8", "--coverage", "30", "--read_len", "5000",
                  "--err", str(err), "--seed", "13"]) == 0
     assert main(["run", "--ref", f"{sim_dir}/ref.fa",
                  "--fastq", f"{sim_dir}/reads.fastq", "-o", out,

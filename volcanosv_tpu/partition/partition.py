@@ -152,8 +152,27 @@ def partition_reads(
     if not unphased or not blocks:
         return PartitionResult(assignment, blocks)
 
-    tables = build_hap_tables(hap_read_seqs, cfg.k)
+    # device k-mer tables are 4^k int32 = 67 MB each at k=12 — one per
+    # (block, hp) simultaneously resident blows HBM once a chromosome has
+    # tens of phase blocks (the 50 Mb RESOURCE_EXHAUSTED).  Tables are
+    # built on demand per block-pair and LRU-evicted; groups are processed
+    # in block order so neighboring pairs reuse the cached tables.
+    from collections import OrderedDict
     zero = jnp.zeros(4**cfg.k, jnp.int32)
+    table_cache: OrderedDict[str, jnp.ndarray] = OrderedDict()
+    _MAX_TABLES = 8
+
+    def get_table(h: str) -> jnp.ndarray:
+        t = table_cache.get(h)
+        if t is None:
+            seqs = hap_read_seqs.get(h)
+            t = build_hap_tables({h: seqs}, cfg.k)[h] if seqs else zero
+            table_cache[h] = t
+            while len(table_cache) > _MAX_TABLES:
+                table_cache.popitem(last=False)
+        else:
+            table_cache.move_to_end(h)
+        return t
 
     # group unphased reads by candidate block pair
     groups: dict[tuple[int, int], list[str]] = {}
@@ -170,9 +189,9 @@ def partition_reads(
     all_scores: list[np.ndarray] = []
     all_names: list[str] = []
     all_haps: list[list[str]] = []
-    for (b1, b2), rnames in groups.items():
+    for (b1, b2), rnames in sorted(groups.items()):
         haps = [hname(b1, 1), hname(b1, 2), hname(b2, 1), hname(b2, 2)]
-        t4_d = jnp.stack([tables.get(h, zero) for h in haps])
+        t4_d = jnp.stack([get_table(h) for h in haps])
         present = t4_d > 0
         u_d = present & (present.sum(0, keepdims=True) == 1)
         for i in range(0, len(rnames), _CHUNK):
