@@ -71,8 +71,13 @@ def test_rescue_reverse_parent(inv_setup):
 
 def test_markers_phase_snp_desert():
     """A het 60bp DEL in a 6kb het-SNP desert: reads covering only the
-    desert cannot phase by SNPs, but the DEL marker column separates
-    carriers from non-carriers."""
+    desert cannot phase by SNPs.  The DEL marker column phases the
+    BRIDGING reads (marker + SNP obs) and keeps the region linked into
+    the SNP's block; marker-only reads stay MEC-unassigned (longshot
+    phases nothing without an SNV — single marker columns are too noisy
+    to claim reads, measured on the HiFi golden) and fall through to the
+    k-mer partition vote, which must separate carriers from
+    non-carriers."""
     from volcanosv_tpu.io.bam import BamRecord
     from volcanosv_tpu.ops.pack import encode_seq
     from volcanosv_tpu.phasing import phase_chromosome, pileup_chromosome
@@ -114,10 +119,37 @@ def test_markers_phase_snp_desert():
     assert pile.marker.any(), "DEL marker column missing"
     ph = phase_chromosome(pile, cfg)
     hap_of = {n: int(ph.read_hap[i]) for i, n in enumerate(ph.read_names)}
-    # all h1R reads must phase, in one group, opposite to the h2R group
+    # bridging reads (SNP + marker obs) phase, opposite haps
+    h1b = {hap_of[f"h1B_{i}"] for i in range(3)}
+    h2b = {hap_of[f"h2B_{i}"] for i in range(3)}
+    assert len(h1b) == 1 and len(h2b) == 1 and h1b != h2b and 0 not in h1b | h2b
+    # the marker keeps the DEL region inside the SNP's block (no split)
+    assert len({int(b) for b in ph.block_id}) == 1
+    # marker-only reads are never WRONGLY phased: each R group is either
+    # unassigned or consistently opposite the other
     h1r = {hap_of[f"h1R_{i}"] for i in range(8)}
     h2r = {hap_of[f"h2R_{i}"] for i in range(8)}
-    assert len(h1r) == 1 and len(h2r) == 1 and h1r != h2r and 0 not in h1r | h2r
+    assert h1r <= {0} | h1b and h2r <= {0} | h2b
+    # and the k-mer partition vote separates the desert reads by haplotype
+    from volcanosv_tpu.config import PartitionConfig
+    from volcanosv_tpu.partition.partition import partition_reads
+    seqs = {r.name: r.seq for r in recs}
+    phased = {n: (hap_of[n], int(ph.read_block[i]))
+              for i, n in enumerate(ph.read_names) if hap_of[n]}
+    spans = {r.name: (r.pos, r.reference_end) for r in recs}
+    unphased = {n: (seqs[n], spans[n]) for n in seqs if n not in phased}
+    res = partition_reads(phased, unphased, seqs, ph.blocks(),
+                          PartitionConfig())
+    def groups_of(prefix, n):
+        return {tuple(sorted(res.assignment.get(f"{prefix}_{i}", [])))
+                for i in range(n)}
+    g1 = groups_of("h1R", 8)
+    g2 = groups_of("h2R", 8)
+    # every desert read lands in exactly one hap group, consistently per
+    # true haplotype, and the two haplotypes' groups differ
+    assert len(g1) == 1 and len(g2) == 1 and g1 != g2, (g1, g2)
+    (a1,), (a2,) = g1, g2
+    assert len(a1) == 1 and len(a2) == 1, (a1, a2)
     # and the marker never reaches the SNP VCF
     from volcanosv_tpu.phasing.snp_vcf import snp_vcf_records
     out = snp_vcf_records("c", ph)

@@ -191,7 +191,15 @@ def partition_reads(
     all_haps: list[list[str]] = []
     for (b1, b2), rnames in sorted(groups.items()):
         haps = [hname(b1, 1), hname(b1, 2), hname(b2, 1), hname(b2, 2)]
-        t4_d = jnp.stack([get_table(h) for h in haps])
+        if b1 == b2:
+            # single candidate block (e.g. a one-block chromosome):
+            # duplicating the two tables would make NO k-mer unique
+            # across the 4 slots and zero every score — vote 2-way with
+            # empty tables in the duplicate slots instead
+            t4_d = jnp.stack([get_table(haps[0]), get_table(haps[1]),
+                              zero, zero])
+        else:
+            t4_d = jnp.stack([get_table(h) for h in haps])
         present = t4_d > 0
         u_d = present & (present.sum(0, keepdims=True) == 1)
         for i in range(0, len(rnames), _CHUNK):

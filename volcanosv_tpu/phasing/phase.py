@@ -238,11 +238,13 @@ def phase_chromosome(pile: PileupResult, cfg: PhasingConfig,
     block_id = starts_pos[block_idx] + 1     # PS = 1-based block start pos
 
     # read → haplotype + block (majority block among its observations).
-    # Eligibility: a read whose ONLY evidence is a single SV-marker column
-    # is a coin flip (measured 44% misassigned on the HiFi golden — marker
-    # carrier/clean calls are individually noisy); such reads stay
-    # unassigned and fall through to the k-mer partition vote.  ≥1 true-SNP
-    # obs or ≥2 marker obs is required to claim a haplotype.
+    # Eligibility: a read whose ONLY evidence is a single NOISY SV-marker
+    # column is a coin flip (measured 44% misassigned on the HiFi golden —
+    # individually-noisy marker carrier/clean calls); such reads stay
+    # unassigned and fall through to the k-mer partition vote.  A single
+    # marker obs still counts when the column is CLEAN — its observations
+    # near-unanimously agree with the solved phase (the het-SV-in-SNP-
+    # desert case, where the marker is the only possible signal).
     read_hap = np.zeros(n_reads, np.int8)
     read_block = np.full(n_reads, -1, np.int64)
     if len(obs_read):
@@ -252,6 +254,12 @@ def phase_chromosome(pile: PileupResult, cfg: PhasingConfig,
                                minlength=n_reads)
         mk_count = np.bincount(obs_read[informative & at_marker],
                                minlength=n_reads)
+        # NOTE a single-clean-marker exception (with or without a span-
+        # based desert test) was tried and reverted: it costs ~3 het SVs
+        # on the HiFi golden.  longshot itself phases nothing without an
+        # SNV — in the reference, SNV-free reads are assigned by the
+        # k-mer partition vote, and that is exactly where single-marker
+        # reads fall through to (partition.partition_reads).
         eligible = (nm_count >= 1) | (mk_count >= 2)
         sel = informative & eligible[obs_read]
         r = obs_read[sel]

@@ -91,6 +91,9 @@ class PileupResult:
     # het indel/inversion-soup columns used ONLY for phasing/partition —
     # they must never reach the SNP VCF
     marker: np.ndarray = None  # (S,) bool
+    # per-read reference spans, index-aligned with read_names (drives the
+    # desert test for single-marker-obs read assignment in phase.py)
+    read_span: np.ndarray = None  # (R, 2) int64 [start, end)
 
 
 def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
@@ -142,7 +145,9 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         z8, z32, z64 = np.zeros(0, np.int8), np.zeros(0, np.int32), np.zeros(0, np.int64)
         return PileupResult(z64, z8, z8, z32, z32, z32,
                             np.zeros(0, bool), z32, z32, z8, names,
-                            marker=np.zeros(0, bool))
+                            marker=np.zeros(0, bool),
+                            read_span=np.array(rec_span, np.int64).reshape(
+                                -1, 2))
 
     ap = np.concatenate(mm_pos)
     ab = np.concatenate(mm_base).astype(np.int64)
@@ -362,7 +367,9 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         z8, z32 = np.zeros(0, np.int8), np.zeros(0, np.int32)
         return PileupResult(cand_pos.astype(np.int64), z8, z8, z32, z32,
                             z32, np.zeros(0, bool), z32, z32, z8, names,
-                            marker=np.zeros(0, bool))
+                            marker=np.zeros(0, bool),
+                            read_span=np.array(rec_span, np.int64).reshape(
+                                -1, 2))
 
     # observations at candidate sites
     obs_read, obs_snp, obs_allele = [], [], []
@@ -445,7 +452,8 @@ def pileup_chromosome(records: list[BamRecord], ref_codes: np.ndarray,
         alt_count=alt_cnt.astype(np.int32),
         depth=depth32, is_het=is_het,
         obs_read=out_read, obs_snp=out_snp,
-        obs_allele=out_allele, read_names=names, marker=mark)
+        obs_allele=out_allele, read_names=names, marker=mark,
+        read_span=np.array(rec_span, np.int64).reshape(-1, 2))
 
 
 def _build_sv_markers(rec_span: list[tuple[int, int]],
