@@ -639,7 +639,7 @@ class Aligner:
         starts = np.concatenate([[0], np.nonzero(cut)[0] + 1])
         stops = np.concatenate([np.nonzero(cut)[0] + 1, [len(ev)]])
         runs = []
-        t_end = a.pos + int(cr.sum())
+        t_end = a.pos + int((((ops == M) | (ops == D)) * lens).sum())
         for s, e in zip(starts, stops):
             lo, hi = int(ev[s]), int(ev[e - 1]) + 1
             n, span = e - s, hi - lo
